@@ -15,3 +15,18 @@ from gym_pybullet_drones_tpu.utils.enums import (  # noqa: F401
     ObservationType,
     Physics,
 )
+
+from gymnasium.envs.registration import register as _register
+
+# Gymnasium IDs with parity to the reference registration
+# (/root/reference/gym_pybullet_drones/__init__.py:3-21)
+for _id, _entry in [
+    ("ctrl-aviary-v0", "gym_pybullet_drones_tpu.envs:CtrlAviary"),
+    ("velocity-aviary-v0", "gym_pybullet_drones_tpu.envs:VelocityAviary"),
+    ("hover-aviary-v0", "gym_pybullet_drones_tpu.envs:HoverAviary"),
+    ("multihover-aviary-v0", "gym_pybullet_drones_tpu.envs:MultiHoverAviary"),
+]:
+    try:
+        _register(id=_id, entry_point=_entry)
+    except Exception:  # already registered (re-import)
+        pass

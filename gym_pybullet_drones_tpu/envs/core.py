@@ -1,0 +1,251 @@
+"""Functional environment core: config, state, reset/step.
+
+TPU-first redesign of the reference's template-method engine
+(/root/reference/gym_pybullet_drones/envs/BaseAviary.py): instead of a
+stateful gym.Env whose step() loops Python over substeps and drones issuing
+PyBullet C-API calls (reference BaseAviary.py:343-372), an environment here is
+a pure function over a pytree state:
+
+    step(cfg, task, state, action) -> (state, obs, reward, term, trunc, info)
+
+- the substep x drone nest becomes a lax.scan over substeps of batched
+  kernels (drone axis vectorized, env axis vmap-ed by callers),
+- subclass hooks (_preprocessAction/_computeObs/_computeReward/... declared
+  at reference BaseAviary.py:1018-1101) become methods of a static, hashable
+  Task dataclass resolved at trace time,
+- controller objects embedded per drone (reference BaseRLAviary.py:73-78)
+  become PIDState carried inside EnvState.
+
+Stepping semantics parity (reference BaseAviary.py:339-383):
+- preprocess action once per control step,
+- PYB_STEPS_PER_CTRL = pyb_freq // ctrl_freq physics substeps,
+- `last_rpm` updated at the END of each substep, so the drag model's first
+  substep uses the previous control step's rpm (reference :359,372),
+- obs/reward/terminated/truncated computed once per control step,
+- step_counter advances by PYB_STEPS_PER_CTRL.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.params import DroneParams
+from gym_pybullet_drones_tpu.utils.enums import Physics
+from gym_pybullet_drones_tpu.ops import aero, quat as quat_ops
+from gym_pybullet_drones_tpu.ops.dynamics import DynState, dyn_step
+from gym_pybullet_drones_tpu.ops.rigid_body import PybState, pyb_step
+from gym_pybullet_drones_tpu.control import dsl_pid
+
+
+class EnvState(NamedTuple):
+    """Full simulation state for one environment (N = num_drones).
+
+    Callers add leading batch dims via vmap; all kernels broadcast.
+    """
+
+    pos: jnp.ndarray            # (N, 3)
+    quat: jnp.ndarray           # (N, 4) xyzw
+    vel: jnp.ndarray            # (N, 3)
+    rpy_rates: jnp.ndarray      # (N, 3)  body rates carry (DYN mode)
+    ang_v: jnp.ndarray          # (N, 3)  world angular velocity
+    last_rpm: jnp.ndarray       # (N, 4)  last applied clipped rpm
+    action_buffer: jnp.ndarray  # (BUF, N, A) action history, oldest first
+    ctrl_state: dsl_pid.PIDState  # embedded-PID carry (zeros when unused)
+    step_counter: jnp.ndarray   # () int32, counts PYB substeps
+
+
+@dataclasses.dataclass(frozen=True)
+class AviaryConfig:
+    """Static environment configuration (hashable; closed over by jit).
+
+    Mirrors the reference constructor surface (BaseAviary.py:25-40) minus the
+    GUI/recording options, which are host-side concerns of the adapter layer.
+    """
+
+    drone: DroneParams
+    num_drones: int = 1
+    physics: Physics = Physics.PYB
+    pyb_freq: int = 240
+    ctrl_freq: int = 240
+    neighbourhood_radius: float = float("inf")
+    # initial poses as nested tuples (hashable); None -> reference default grid
+    init_xyzs: tuple | None = None
+    init_rpys: tuple | None = None
+
+    def __post_init__(self):
+        if self.pyb_freq % self.ctrl_freq != 0:
+            raise ValueError("pyb_freq must be divisible by ctrl_freq")
+
+    @property
+    def steps_per_ctrl(self) -> int:
+        return self.pyb_freq // self.ctrl_freq
+
+    @property
+    def pyb_dt(self) -> float:
+        return 1.0 / self.pyb_freq
+
+    @property
+    def ctrl_dt(self) -> float:
+        return 1.0 / self.ctrl_freq
+
+    def default_init_xyzs(self) -> jnp.ndarray:
+        """Reference default spawn grid (BaseAviary.py:194-197)."""
+        if self.init_xyzs is not None:
+            return jnp.asarray(self.init_xyzs, jnp.float32)
+        d = self.drone
+        i = jnp.arange(self.num_drones, dtype=jnp.float32)
+        return jnp.stack(
+            [i * 4 * d.l, i * 4 * d.l,
+             jnp.full_like(i, d.init_z)], axis=-1)
+
+    def default_init_rpys(self) -> jnp.ndarray:
+        if self.init_rpys is not None:
+            return jnp.asarray(self.init_rpys, jnp.float32)
+        return jnp.zeros((self.num_drones, 3), jnp.float32)
+
+
+def state_vector(state: EnvState) -> jnp.ndarray:
+    """(N, 20) per-drone state [pos, quat, rpy, vel, ang_v, last_rpm].
+
+    Layout parity: reference BaseAviary._getDroneStateVector (:541-561).
+    """
+    rpy = quat_ops.quat_to_rpy(state.quat)
+    return jnp.concatenate(
+        [state.pos, state.quat, rpy, state.vel, state.ang_v, state.last_rpm],
+        axis=-1)
+
+
+def adjacency_matrix(cfg: AviaryConfig, state: EnvState) -> jnp.ndarray:
+    """(N, N) 0/1 adjacency by neighbourhood radius.
+
+    Parity: reference BaseAviary._getAdjacencyMatrix (:658-675), vectorized.
+    """
+    diff = state.pos[:, None, :] - state.pos[None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)
+    adj = (dist < cfg.neighbourhood_radius) | jnp.eye(
+        cfg.num_drones, dtype=bool)
+    return adj.astype(state.pos.dtype)
+
+
+def next_waypoint(current_position: jnp.ndarray, destination: jnp.ndarray,
+                  step_size: float = 1.0) -> jnp.ndarray:
+    """Routing-fork waypoint stepper: move step_size toward destination.
+
+    Parity: reference BaseAviary._calculateNextStep (:1105-1147) — returns the
+    destination itself once within step_size, else a unit step toward it.
+    Batched over leading dims (the reference is scalar per call).
+    """
+    direction = destination - current_position
+    distance = jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    safe = jnp.where(distance > 0, distance, 1.0)
+    stepped = current_position + direction / safe * step_size
+    return jnp.where(distance <= step_size, destination, stepped)
+
+
+def _apply_physics_substep(cfg: AviaryConfig, state: EnvState,
+                           rpm: jnp.ndarray) -> EnvState:
+    """One physics substep in the configured mode (reference :349-372)."""
+    d = cfg.drone
+    dt = cfg.pyb_dt
+    mode = cfg.physics
+    if mode == Physics.DYN:
+        dyn = DynState(pos=state.pos, quat=state.quat, vel=state.vel,
+                       rpy_rates=state.rpy_rates, ang_v=state.ang_v)
+        out = dyn_step(d, dyn, rpm, dt)
+        return state._replace(pos=out.pos, quat=out.quat, vel=out.vel,
+                              rpy_rates=out.rpy_rates, ang_v=out.ang_v,
+                              last_rpm=rpm)
+
+    # PYB family: compose aero effects as external force/torque about CoM.
+    rot = quat_ops.quat_to_mat(state.quat)
+    ext_f = jnp.zeros_like(state.pos)
+    ext_t = jnp.zeros_like(state.pos)
+    if mode in (Physics.PYB_GND, Physics.PYB_GND_DRAG_DW):
+        rpy = quat_ops.quat_to_rpy(state.quat)
+        f, t = aero.ground_effect(d, rpm, state.pos, rot, rpy)
+        ext_f, ext_t = ext_f + f, ext_t + t
+    if mode in (Physics.PYB_DRAG, Physics.PYB_GND_DRAG_DW):
+        # stale-action semantics: previous substep's rpm (reference :359)
+        f, t = aero.drag(d, state.last_rpm, state.vel, rot)
+        ext_f, ext_t = ext_f + f, ext_t + t
+    if mode in (Physics.PYB_DW, Physics.PYB_GND_DRAG_DW):
+        f, t = aero.downwash(d, state.pos, rot)
+        ext_f, ext_t = ext_f + f, ext_t + t
+
+    pyb = PybState(pos=state.pos, quat=state.quat, vel=state.vel,
+                   ang_v=state.ang_v)
+    out = pyb_step(d, pyb, rpm, dt, ext_force=ext_f, ext_torque=ext_t)
+    return state._replace(pos=out.pos, quat=out.quat, vel=out.vel,
+                          ang_v=out.ang_v, last_rpm=rpm)
+
+
+def reset(cfg: AviaryConfig, task, key: jax.Array | None = None,
+          dtype=jnp.float32):
+    """Initial (state, obs, info).
+
+    Deterministic by default like the reference (its reset() ignores the
+    seed, BaseAviary.py:243); tasks may use `key` for randomized inits.
+    """
+    n = cfg.num_drones
+    xyz = cfg.default_init_xyzs().astype(dtype)
+    rpy = cfg.default_init_rpys().astype(dtype)
+    quat = quat_ops.rpy_to_quat(rpy)
+    buf_size, act_dim = task.action_buffer_shape(cfg)
+    state = EnvState(
+        pos=xyz,
+        quat=quat,
+        vel=jnp.zeros((n, 3), dtype),
+        rpy_rates=jnp.zeros((n, 3), dtype),
+        ang_v=jnp.zeros((n, 3), dtype),
+        last_rpm=jnp.zeros((n, 4), dtype),
+        action_buffer=jnp.zeros((buf_size, n, act_dim), dtype),
+        ctrl_state=dsl_pid.init_state((n,), dtype),
+        step_counter=jnp.zeros((), jnp.int32),
+    )
+    if key is not None and hasattr(task, "randomize_reset"):
+        state = task.randomize_reset(cfg, state, key)
+    obs = task.compute_obs(cfg, state)
+    return state, obs, {}
+
+
+def step(cfg: AviaryConfig, task, state: EnvState, action: jnp.ndarray):
+    """One control step: (state, obs, reward, terminated, truncated, info).
+
+    Control-flow parity with reference BaseAviary.step (:259-383); the
+    substep loop is a lax.scan compiled into the single fused program.
+    """
+    action = jnp.asarray(action, state.pos.dtype)  # guard dtype promotion
+    rpm, state = task.preprocess_action(cfg, state, action)
+
+    def substep(s, _):
+        return _apply_physics_substep(cfg, s, rpm), None
+
+    state, _ = jax.lax.scan(substep, state, None,
+                            length=cfg.steps_per_ctrl)
+    state = state._replace(
+        step_counter=state.step_counter + cfg.steps_per_ctrl)
+    obs = task.compute_obs(cfg, state)
+    reward = task.compute_reward(cfg, state)
+    terminated = task.compute_terminated(cfg, state)
+    truncated = task.compute_truncated(cfg, state)
+    return state, obs, reward, terminated, truncated, {}
+
+
+def step_autoreset(cfg: AviaryConfig, task, state: EnvState,
+                   action: jnp.ndarray, dtype=jnp.float32):
+    """step() + masked auto-reset on done, for batched RL rollouts.
+
+    Equivalent of SB3's VecEnv auto-reset (SURVEY.md §3.2); done envs return
+    the terminal reward/flags but the carried state is re-initialized.  The
+    post-reset obs is returned (Gymnasium VecEnv convention).
+    """
+    next_state, obs, reward, term, trunc, info = step(cfg, task, state, action)
+    done = jnp.logical_or(term, trunc)  # scalar for one env; vmap maps it
+    init_state, init_obs, _ = reset(cfg, task, dtype=dtype)
+    new_state = jax.tree.map(lambda i, n: jnp.where(done, i, n),
+                             init_state, next_state)
+    new_obs = jnp.where(done, init_obs, obs)
+    return new_state, new_obs, reward, term, trunc, info

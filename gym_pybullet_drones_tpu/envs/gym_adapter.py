@@ -1,0 +1,223 @@
+"""Gymnasium-compatible class adapters over the functional core.
+
+Drop-in counterparts of the reference aviaries (same constructor surface,
+reference envs/BaseAviary.py:25-40 and subclasses) for users of the
+single-env gym.Env workflow; the jitted functional core does the work, and
+numpy conversion happens only at this boundary.  Batched/sharded training
+should use `BatchedEnv` or the functional API directly.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import gymnasium as gym
+from gymnasium import spaces
+
+from gym_pybullet_drones_tpu.params import get_params
+from gym_pybullet_drones_tpu.utils.enums import (
+    ActionType, DroneModel, ObservationType, Physics)
+from gym_pybullet_drones_tpu.envs import core, tasks
+
+
+class FunctionalAviary(gym.Env):
+    """gym.Env wrapper around (cfg, task) with jit-compiled reset/step."""
+
+    metadata = {"render_modes": ["human"]}
+
+    def __init__(self, cfg: core.AviaryConfig, task, dtype=jnp.float32):
+        self.cfg = cfg
+        self.task = task
+        self.dtype = dtype
+        self._reset = jax.jit(
+            lambda: core.reset(cfg, task, dtype=dtype))
+        self._step = jax.jit(
+            lambda s, a: core.step(cfg, task, s, a))
+        self.state: core.EnvState | None = None
+        self._reset_time = time.time()
+        self.action_space = self._action_space()
+        self.observation_space = self._observation_space()
+        # Reference-style constants, exposed for example-script parity
+        self.NUM_DRONES = cfg.num_drones
+        self.CTRL_FREQ = cfg.ctrl_freq
+        self.PYB_FREQ = cfg.pyb_freq
+        self.CTRL_TIMESTEP = cfg.ctrl_dt
+        self.PYB_TIMESTEP = cfg.pyb_dt
+        self.MAX_RPM = cfg.drone.max_rpm
+        self.HOVER_RPM = cfg.drone.hover_rpm
+        self.INIT_XYZS = np.asarray(cfg.default_init_xyzs())
+        self.INIT_RPYS = np.asarray(cfg.default_init_rpys())
+
+    # -- spaces ---------------------------------------------------------
+    def _action_space(self):
+        n = self.cfg.num_drones
+        if isinstance(self.task, tasks.RLTask):
+            size = self.task.action_dim(self.cfg)
+            return spaces.Box(low=-np.ones((n, size), np.float32),
+                              high=np.ones((n, size), np.float32),
+                              dtype=np.float32)
+        if isinstance(self.task, tasks.VelocityTask):
+            low = np.tile([-1, -1, -1, 0], (n, 1)).astype(np.float32)
+            high = np.tile([1, 1, 1, 1], (n, 1)).astype(np.float32)
+            return spaces.Box(low=low, high=high, dtype=np.float32)
+        max_rpm = self.cfg.drone.max_rpm
+        return spaces.Box(low=np.zeros((n, 4), np.float32),
+                          high=np.full((n, 4), max_rpm, np.float32),
+                          dtype=np.float32)
+
+    def _observation_space(self):
+        n = self.cfg.num_drones
+        if isinstance(self.task, tasks.RLTask):
+            d = self.task.obs_dim(self.cfg)
+            lo = np.full((n, d), -np.inf, np.float32)
+            hi = np.full((n, d), np.inf, np.float32)
+            lo[:, 2] = 0.0  # z >= 0 (reference BaseRLAviary.py:262)
+            lo[:, 12:] = -1.0
+            hi[:, 12:] = 1.0
+            return spaces.Box(low=lo, high=hi, dtype=np.float32)
+        max_rpm = self.cfg.drone.max_rpm
+        lo = np.array([[-np.inf, -np.inf, 0, -1, -1, -1, -1, -np.pi,
+                        -np.pi, -np.pi, -np.inf, -np.inf, -np.inf, -np.inf,
+                        -np.inf, -np.inf, 0, 0, 0, 0]] * n, np.float32)
+        hi = np.array([[np.inf, np.inf, np.inf, 1, 1, 1, 1, np.pi, np.pi,
+                        np.pi, np.inf, np.inf, np.inf, np.inf, np.inf,
+                        np.inf, max_rpm, max_rpm, max_rpm, max_rpm]] * n,
+                      np.float32)
+        return spaces.Box(low=lo, high=hi, dtype=np.float32)
+
+    # -- gym API --------------------------------------------------------
+    def reset(self, seed: int | None = None, options: dict | None = None):
+        super().reset(seed=seed)
+        self.state, obs, info = self._reset()
+        self._reset_time = time.time()
+        return np.asarray(obs), info
+
+    def step(self, action):
+        action = jnp.asarray(action, self.dtype)
+        self.state, obs, reward, term, trunc, info = self._step(
+            self.state, action)
+        return (np.asarray(obs), float(reward), bool(term), bool(trunc),
+                info)
+
+    def render(self):
+        """Text render with real-time factor (reference BaseAviary.py:387-412)."""
+        sc = int(self.state.step_counter)
+        wall = time.time() - self._reset_time
+        sim_t = sc * self.cfg.pyb_dt
+        print(f"[INFO] it {sc:04d} --- wall-clock {wall:.1f}s, "
+              f"sim time {sim_t:.1f}s@{self.cfg.pyb_freq}Hz "
+              f"({sim_t / max(wall, 1e-9):.2f}x)")
+
+    def close(self):
+        pass
+
+    # -- extras mirroring reference helpers -----------------------------
+    def getDroneStateVector(self, nth_drone: int) -> np.ndarray:
+        return np.asarray(core.state_vector(self.state))[nth_drone]
+
+    def getAdjacencyMatrix(self) -> np.ndarray:
+        return np.asarray(core.adjacency_matrix(self.cfg, self.state))
+
+
+def _make_cfg(drone_model, num_drones, neighbourhood_radius, initial_xyzs,
+              initial_rpys, physics, pyb_freq, ctrl_freq):
+    to_tuple = lambda a: None if a is None else tuple(
+        tuple(float(v) for v in row) for row in np.asarray(a))
+    return core.AviaryConfig(
+        drone=get_params(drone_model), num_drones=num_drones,
+        physics=Physics(physics), pyb_freq=pyb_freq, ctrl_freq=ctrl_freq,
+        neighbourhood_radius=float(neighbourhood_radius),
+        init_xyzs=to_tuple(initial_xyzs), init_rpys=to_tuple(initial_rpys))
+
+
+class CtrlAviary(FunctionalAviary):
+    """Direct-RPM control env (reference envs/CtrlAviary.py)."""
+
+    def __init__(self, drone_model=DroneModel.CF2X, num_drones=1,
+                 neighbourhood_radius=np.inf, initial_xyzs=None,
+                 initial_rpys=None, physics=Physics.PYB, pyb_freq=240,
+                 ctrl_freq=240, gui=False, record=False, obstacles=False,
+                 user_debug_gui=True, output_folder="results", **kw):
+        cfg = _make_cfg(drone_model, num_drones, neighbourhood_radius,
+                        initial_xyzs, initial_rpys, physics, pyb_freq,
+                        ctrl_freq)
+        super().__init__(cfg, tasks.CtrlTask())
+
+
+class VelocityAviary(FunctionalAviary):
+    """Velocity-command env (reference envs/VelocityAviary.py)."""
+
+    def __init__(self, drone_model=DroneModel.CF2X, num_drones=1,
+                 neighbourhood_radius=np.inf, initial_xyzs=None,
+                 initial_rpys=None, physics=Physics.PYB, pyb_freq=240,
+                 ctrl_freq=240, gui=False, record=False, obstacles=False,
+                 user_debug_gui=True, output_folder="results", **kw):
+        cfg = _make_cfg(drone_model, num_drones, neighbourhood_radius,
+                        initial_xyzs, initial_rpys, physics, pyb_freq,
+                        ctrl_freq)
+        super().__init__(cfg, tasks.VelocityTask())
+
+
+class HoverAviary(FunctionalAviary):
+    """Single-agent hover RL env (reference envs/HoverAviary.py)."""
+
+    def __init__(self, drone_model=DroneModel.CF2X, initial_xyzs=None,
+                 initial_rpys=None, physics=Physics.PYB, pyb_freq=240,
+                 ctrl_freq=30, gui=False, record=False,
+                 obs=ObservationType.KIN, act=ActionType.RPM, **kw):
+        cfg = _make_cfg(drone_model, 1, np.inf, initial_xyzs, initial_rpys,
+                        physics, pyb_freq, ctrl_freq)
+        task = tasks.HoverTask(act=ActionType(act), obs=ObservationType(obs))
+        super().__init__(cfg, task)
+        self.EPISODE_LEN_SEC = task.episode_len_sec
+        self.TARGET_POS = np.asarray(task.target_pos)
+
+
+class MultiHoverAviary(FunctionalAviary):
+    """Multi-agent hover RL env (reference envs/MultiHoverAviary.py)."""
+
+    def __init__(self, drone_model=DroneModel.CF2X, num_drones=2,
+                 neighbourhood_radius=np.inf, initial_xyzs=None,
+                 initial_rpys=None, physics=Physics.PYB, pyb_freq=240,
+                 ctrl_freq=30, gui=False, record=False,
+                 obs=ObservationType.KIN, act=ActionType.RPM, **kw):
+        cfg = _make_cfg(drone_model, num_drones, neighbourhood_radius,
+                        initial_xyzs, initial_rpys, physics, pyb_freq,
+                        ctrl_freq)
+        task = tasks.MultiHoverTask(act=ActionType(act),
+                                    obs=ObservationType(obs))
+        super().__init__(cfg, task)
+        self.EPISODE_LEN_SEC = task.episode_len_sec
+        self.TARGET_POS = np.asarray(task._targets(
+            cfg, core.reset(cfg, task)[0]))
+
+
+class BatchedEnv:
+    """Vectorized batch of identical envs, fully on-device with auto-reset.
+
+    The TPU-native replacement of SB3's DummyVecEnv (SURVEY.md §2.4): the env
+    batch axis is a vmap axis, one jitted program advances all instances, and
+    rollouts can stay on device end-to-end.
+    """
+
+    def __init__(self, cfg: core.AviaryConfig, task, num_envs: int,
+                 dtype=jnp.float32):
+        self.cfg, self.task, self.num_envs = cfg, task, num_envs
+        self.dtype = dtype
+        self._reset = jax.jit(jax.vmap(
+            lambda _: core.reset(cfg, task, dtype=dtype),
+            in_axes=0))
+        self._step = jax.jit(jax.vmap(
+            lambda s, a: core.step_autoreset(cfg, task, s, a, dtype=dtype)))
+
+    def reset(self):
+        dummy = jnp.zeros(self.num_envs)
+        state, obs, _ = self._reset(dummy)
+        return state, obs
+
+    def step(self, state, action):
+        """action: (num_envs, N, A) -> (state, obs, reward, term, trunc)."""
+        state, obs, r, te, tr, _ = self._step(state, action)
+        return state, obs, r, te, tr

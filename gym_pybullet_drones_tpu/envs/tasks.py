@@ -1,0 +1,247 @@
+"""Task layer: action preprocessing, observations, rewards, termination.
+
+Functional counterparts of the reference's aviary subclasses:
+- CtrlTask      <- CtrlAviary      (reference envs/CtrlAviary.py)
+- VelocityTask  <- VelocityAviary  (reference envs/VelocityAviary.py)
+- RLTask        <- BaseRLAviary    (reference envs/BaseRLAviary.py)
+- HoverTask     <- HoverAviary     (reference envs/HoverAviary.py)
+- MultiHoverTask<- MultiHoverAviary(reference envs/MultiHoverAviary.py)
+
+Each task is a frozen (hashable) dataclass closed over by jit; its methods
+are pure functions of (cfg, state).  The embedded DSL-PID controllers of the
+reference (one Python object per drone, BaseRLAviary.py:73-78) are the
+PIDState carried in EnvState, advanced inside preprocess_action.
+
+Reference quirk preserved: embedded controllers are always constructed with
+CF2X parameters regardless of the configured drone model
+(reference BaseRLAviary.py:76, VelocityAviary.py:62).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.params import CF2X
+from gym_pybullet_drones_tpu.utils.enums import ActionType, ObservationType
+from gym_pybullet_drones_tpu.ops import quat as quat_ops
+from gym_pybullet_drones_tpu.control import dsl_pid
+from gym_pybullet_drones_tpu.envs.core import (
+    AviaryConfig, EnvState, next_waypoint, state_vector)
+
+
+@dataclasses.dataclass(frozen=True)
+class CtrlTask:
+    """Direct-RPM control env (non-RL).
+
+    Action = raw RPMs clipped to [0, MAX_RPM] (reference CtrlAviary.py:121-140);
+    obs = raw 20-dim state per drone (:106-117); dummy reward/term/trunc
+    (:144-200).
+    """
+
+    def action_buffer_shape(self, cfg: AviaryConfig):
+        return (0, 4)
+
+    def action_dim(self, cfg: AviaryConfig) -> int:
+        return 4
+
+    def obs_dim(self, cfg: AviaryConfig) -> int:
+        return 20
+
+    def preprocess_action(self, cfg, state: EnvState, action):
+        rpm = jnp.clip(action, 0.0, cfg.drone.max_rpm)
+        return rpm, state
+
+    def compute_obs(self, cfg, state: EnvState):
+        return state_vector(state)
+
+    def compute_reward(self, cfg, state):
+        return jnp.asarray(-1.0, state.pos.dtype)
+
+    def compute_terminated(self, cfg, state):
+        return jnp.asarray(False)
+
+    def compute_truncated(self, cfg, state):
+        return jnp.asarray(False)
+
+
+def _embedded_pid(cfg, state: EnvState, target_pos, target_rpy=None,
+                  target_vel=None):
+    """Advance the embedded per-drone DSL-PIDs one control tick."""
+    rpm, ctrl_state, _, _ = dsl_pid.compute_control(
+        CF2X, state.ctrl_state, cfg.ctrl_dt,
+        cur_pos=state.pos, cur_quat=state.quat, cur_vel=state.vel,
+        target_pos=target_pos, target_rpy=target_rpy, target_vel=target_vel)
+    return rpm, state._replace(ctrl_state=ctrl_state)
+
+
+@dataclasses.dataclass(frozen=True)
+class VelocityTask(CtrlTask):
+    """Velocity-command env with embedded DSL-PIDs.
+
+    Action = [vx, vy, vz, speed-fraction] per drone mapped through PID to RPM
+    (reference VelocityAviary.py:129-168); speed limit
+    0.03 * MAX_SPEED_KMH * 1000/3600 (:78).
+    """
+
+    def preprocess_action(self, cfg, state: EnvState, action):
+        v = action[..., 0:3]
+        norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v_unit = jnp.where(norm > 0, v / jnp.where(norm > 0, norm, 1.0), 0.0)
+        yaw = quat_ops.quat_to_rpy(state.quat)[..., 2]
+        target_rpy = jnp.stack(
+            [jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], axis=-1)
+        target_vel = (cfg.drone.speed_limit
+                      * jnp.abs(action[..., 3:4]) * v_unit)
+        return _embedded_pid(cfg, state, target_pos=state.pos,
+                             target_rpy=target_rpy, target_vel=target_vel)
+
+
+@dataclasses.dataclass(frozen=True)
+class RLTask:
+    """Base RL task: 5 action types, KIN observations with action history.
+
+    Parity: reference BaseRLAviary (envs/BaseRLAviary.py) — action buffer of
+    ctrl_freq//2 past actions (:66-67), action mappings (:160-239), KIN obs =
+    12-dim kinematics + stacked buffer (:243-322).  RGB observations are a
+    host-side renderer concern (see SURVEY.md §7 "hard parts"); KIN is the
+    benchmark path.
+    """
+
+    act: ActionType = ActionType.RPM
+    obs: ObservationType = ObservationType.KIN
+
+    def action_dim(self, cfg) -> int:
+        if self.act in (ActionType.RPM, ActionType.VEL):
+            return 4
+        if self.act == ActionType.PID:
+            return 3
+        return 1  # ONE_D_RPM, ONE_D_PID
+
+    def action_buffer_shape(self, cfg: AviaryConfig):
+        return (cfg.ctrl_freq // 2, self.action_dim(cfg))
+
+    def obs_dim(self, cfg) -> int:
+        buf, adim = self.action_buffer_shape(cfg)
+        return 12 + buf * adim
+
+    def preprocess_action(self, cfg, state: EnvState, action):
+        # push into the ring (oldest first, like the reference deque)
+        buf = jnp.concatenate(
+            [state.action_buffer[1:], action[None]], axis=0)
+        state = state._replace(action_buffer=buf)
+        hover = cfg.drone.hover_rpm
+        if self.act == ActionType.RPM:
+            rpm = hover * (1 + 0.05 * action)
+            return rpm, state
+        if self.act == ActionType.ONE_D_RPM:
+            rpm = jnp.repeat(hover * (1 + 0.05 * action), 4, axis=-1)
+            return rpm, state
+        if self.act == ActionType.PID:
+            next_pos = next_waypoint(state.pos, action, step_size=1.0)
+            return _embedded_pid(cfg, state, target_pos=next_pos)
+        if self.act == ActionType.VEL:
+            v = action[..., 0:3]
+            norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+            v_unit = jnp.where(norm > 0,
+                               v / jnp.where(norm > 0, norm, 1.0), 0.0)
+            yaw = quat_ops.quat_to_rpy(state.quat)[..., 2]
+            target_rpy = jnp.stack(
+                [jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], axis=-1)
+            speed_limit = 0.03 * cfg.drone.max_speed_kmh * (1000 / 3600)
+            target_vel = speed_limit * jnp.abs(action[..., 3:4]) * v_unit
+            return _embedded_pid(cfg, state, target_pos=state.pos,
+                                 target_rpy=target_rpy,
+                                 target_vel=target_vel)
+        if self.act == ActionType.ONE_D_PID:
+            delta = 0.1 * jnp.pad(action, [(0, 0)] * (action.ndim - 1)
+                                  + [(2, 0)])
+            return _embedded_pid(cfg, state, target_pos=state.pos + delta)
+        raise ValueError(f"unsupported action type {self.act}")
+
+    def compute_obs(self, cfg, state: EnvState):
+        """(N, 12 + BUF*A): [pos, rpy, vel, ang_v] + action history."""
+        rpy = quat_ops.quat_to_rpy(state.quat)
+        obs12 = jnp.concatenate(
+            [state.pos, rpy, state.vel, state.ang_v], axis=-1)
+        buf, adim = self.action_buffer_shape(cfg)
+        # (BUF, N, A) -> (N, BUF*A), oldest first (reference :317-318)
+        hist = jnp.moveaxis(state.action_buffer, 0, -2)
+        hist = hist.reshape(hist.shape[:-2] + (buf * adim,))
+        return jnp.concatenate([obs12, hist], axis=-1)
+
+    def compute_reward(self, cfg, state):
+        return jnp.asarray(0.0, state.pos.dtype)
+
+    def compute_terminated(self, cfg, state):
+        return jnp.asarray(False)
+
+    def compute_truncated(self, cfg, state):
+        return jnp.asarray(False)
+
+
+@dataclasses.dataclass(frozen=True)
+class HoverTask(RLTask):
+    """Single-agent hover at TARGET_POS (reference envs/HoverAviary.py).
+
+    reward = max(0, 2 - ||tgt - p||^4) (:68-79); terminated when
+    ||tgt - p|| < 1e-4 (:83-96); truncated outside the flight box, when
+    tilted > 0.4 rad, or after EPISODE_LEN_SEC (:100-117).
+    """
+
+    target_pos: tuple = (0.0, 0.0, 1.0)
+    episode_len_sec: float = 8.0
+
+    def _dist(self, state):
+        tgt = jnp.asarray(self.target_pos, state.pos.dtype)
+        return jnp.linalg.norm(tgt - state.pos[0])
+
+    def compute_reward(self, cfg, state):
+        return jnp.maximum(0.0, 2.0 - self._dist(state) ** 4)
+
+    def compute_terminated(self, cfg, state):
+        return self._dist(state) < 1e-4
+
+    def compute_truncated(self, cfg, state):
+        pos = state.pos[0]
+        rpy = quat_ops.quat_to_rpy(state.quat[0])
+        out = (jnp.abs(pos[0]) > 1.5) | (jnp.abs(pos[1]) > 1.5) | \
+              (pos[2] > 2.0) | (jnp.abs(rpy[0]) > 0.4) | \
+              (jnp.abs(rpy[1]) > 0.4)
+        timeout = (state.step_counter / cfg.pyb_freq) > self.episode_len_sec
+        return out | timeout
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiHoverTask(RLTask):
+    """Multi-agent leader-follower hover (reference envs/MultiHoverAviary.py).
+
+    TARGET_POS = INIT_XYZS + [0, 0, 1/(i+1)] (:71); summed reward (:75-88);
+    terminated when the summed distance < 1e-4 (:92-108); truncated when any
+    drone leaves the +-2 box / tilts > 0.4 / timeout (:112-130).
+    """
+
+    episode_len_sec: float = 8.0
+
+    def _targets(self, cfg, state):
+        init = cfg.default_init_xyzs().astype(state.pos.dtype)
+        i = jnp.arange(cfg.num_drones, dtype=state.pos.dtype)
+        off = jnp.stack([jnp.zeros_like(i), jnp.zeros_like(i),
+                         1.0 / (i + 1)], axis=-1)
+        return init + off
+
+    def compute_reward(self, cfg, state):
+        d = jnp.linalg.norm(self._targets(cfg, state) - state.pos, axis=-1)
+        return jnp.sum(jnp.maximum(0.0, 2.0 - d ** 4))
+
+    def compute_terminated(self, cfg, state):
+        d = jnp.linalg.norm(self._targets(cfg, state) - state.pos, axis=-1)
+        return jnp.sum(d) < 1e-4
+
+    def compute_truncated(self, cfg, state):
+        rpy = quat_ops.quat_to_rpy(state.quat)
+        out = (jnp.abs(state.pos[:, 0]) > 2.0) | \
+              (jnp.abs(state.pos[:, 1]) > 2.0) | (state.pos[:, 2] > 2.0) | \
+              (jnp.abs(rpy[:, 0]) > 0.4) | (jnp.abs(rpy[:, 1]) > 0.4)
+        timeout = (state.step_counter / cfg.pyb_freq) > self.episode_len_sec
+        return jnp.any(out) | timeout

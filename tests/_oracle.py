@@ -131,3 +131,55 @@ def downwash_force(params, all_pos, n):
             beta = params.dw_coeff_2 * dz + params.dw_coeff_3
             total += alpha * np.exp(-0.5 * (dxy / beta)**2)
     return total
+
+
+# ---------------------------------------------------------------------------
+# DSL PID oracle (reference control/DSLPIDControl.py:37-259), scipy-based.
+# ---------------------------------------------------------------------------
+from scipy.spatial.transform import Rotation as _Rotation  # noqa: E402
+
+MIXER_CF2X = np.array([[-.5, -.5, -1], [-.5, .5, 1], [.5, .5, -1], [.5, -.5, 1]])
+
+
+def dsl_pid_init():
+    return dict(last_rpy=np.zeros(3), integral_pos_e=np.zeros(3),
+                integral_rpy_e=np.zeros(3))
+
+
+def dsl_pid_step(params, ctl, dt, cur_pos, cur_quat, cur_vel, target_pos,
+                 target_rpy=np.zeros(3), target_vel=np.zeros(3),
+                 target_rpy_rates=np.zeros(3)):
+    """One control tick; mutates and returns ctl. CF2X mixer."""
+    g = 9.8 * params.m
+    P_FOR, I_FOR, D_FOR = np.array([.4, .4, 1.25]), np.array([.05] * 3), np.array([.2, .2, .5])
+    P_TOR, I_TOR, D_TOR = np.array([70000., 70000., 60000.]), np.array([0., 0., 500.]), np.array([20000., 20000., 12000.])
+    cur_rotation = quat_to_mat(cur_quat)
+    pos_e = target_pos - cur_pos
+    vel_e = target_vel - cur_vel
+    ctl["integral_pos_e"] = np.clip(ctl["integral_pos_e"] + pos_e * dt, -2., 2.)
+    ctl["integral_pos_e"][2] = np.clip(ctl["integral_pos_e"][2], -0.15, .15)
+    target_thrust = P_FOR * pos_e + I_FOR * ctl["integral_pos_e"] + \
+        D_FOR * vel_e + np.array([0, 0, g])
+    scalar_thrust = max(0., np.dot(target_thrust, cur_rotation[:, 2]))
+    thrust = (np.sqrt(scalar_thrust / (4 * params.kf)) - 4070.3) / 0.2685
+    target_z_ax = target_thrust / np.linalg.norm(target_thrust)
+    target_x_c = np.array([np.cos(target_rpy[2]), np.sin(target_rpy[2]), 0])
+    target_y_ax = np.cross(target_z_ax, target_x_c)
+    target_y_ax = target_y_ax / np.linalg.norm(target_y_ax)
+    target_x_ax = np.cross(target_y_ax, target_z_ax)
+    target_rotation = np.vstack([target_x_ax, target_y_ax, target_z_ax]).T
+    target_euler = _Rotation.from_matrix(target_rotation).as_euler('XYZ')
+
+    cur_rpy = quat_to_rpy(cur_quat)
+    tq = _Rotation.from_euler('XYZ', target_euler).as_quat()
+    w, x, y, z = tq
+    target_rot2 = _Rotation.from_quat([w, x, y, z]).as_matrix()
+    rme = target_rot2.T @ cur_rotation - cur_rotation.T @ target_rot2
+    rot_e = np.array([rme[2, 1], rme[0, 2], rme[1, 0]])
+    rpy_rates_e = target_rpy_rates - (cur_rpy - ctl["last_rpy"]) / dt
+    ctl["last_rpy"] = cur_rpy
+    ctl["integral_rpy_e"] = np.clip(ctl["integral_rpy_e"] - rot_e * dt, -1500., 1500.)
+    ctl["integral_rpy_e"][0:2] = np.clip(ctl["integral_rpy_e"][0:2], -1., 1.)
+    tt = np.clip(-P_TOR * rot_e + D_TOR * rpy_rates_e + I_TOR * ctl["integral_rpy_e"], -3200, 3200)
+    pwm = np.clip(thrust + MIXER_CF2X @ tt, 20000, 65535)
+    return 0.2685 * pwm + 4070.3, ctl

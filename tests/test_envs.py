@@ -1,0 +1,188 @@
+"""Environment layer tests: spaces, stepping semantics, tasks, auto-reset."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu import params as P
+from gym_pybullet_drones_tpu.envs import (
+    AviaryConfig, BatchedEnv, CtrlAviary, CtrlTask, HoverAviary, HoverTask,
+    MultiHoverAviary, MultiHoverTask, VelocityAviary, next_waypoint, reset,
+    step, step_autoreset)
+from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
+
+from tests import _oracle as oracle
+
+
+def test_ctrl_aviary_dyn_matches_oracle():
+    """CtrlAviary(DYN) ctrl-step == oracle substep loop + 20-dim state obs."""
+    env = CtrlAviary(num_drones=2, physics=Physics.DYN, pyb_freq=240,
+                     ctrl_freq=48)
+    obs, _ = env.reset()
+    assert obs.shape == (2, 20)
+    # initial grid placement (reference BaseAviary.py:194-197)
+    d = P.CF2X
+    np.testing.assert_allclose(obs[1, 0:2], [4 * d.l, 4 * d.l], atol=1e-6)
+    np.testing.assert_allclose(obs[:, 2], d.init_z, atol=1e-6)
+
+    action = np.tile(d.hover_rpm * np.array([1.02, 1.0, 0.99, 1.0]), (2, 1))
+    obs2, rew, term, trunc, _ = env.step(action)
+    assert rew == -1.0 and not term and not trunc
+
+    # oracle: 5 substeps per ctrl step at 240/48
+    pos = np.asarray(env.INIT_XYZS[0], np.float64)
+    quat = oracle.rpy_to_quat([0, 0, 0])
+    vel = np.zeros(3)
+    rates = np.zeros(3)
+    for _ in range(5):
+        pos, quat, vel, rates, angv = oracle.dyn_step(
+            d, pos, quat, vel, rates, action[0], 1 / 240)
+    np.testing.assert_allclose(obs2[0, 0:3], pos, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(obs2[0, 10:13], vel, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(obs2[0, 16:20], action[0], rtol=1e-6)
+
+
+def test_rpm_clipping():
+    env = CtrlAviary(num_drones=1, physics=Physics.DYN)
+    env.reset()
+    obs, *_ = env.step(np.full((1, 4), 1e9))
+    assert np.all(obs[0, 16:20] <= env.MAX_RPM + 1)
+
+
+def test_hover_aviary_api_and_reward():
+    env = HoverAviary(physics=Physics.DYN)
+    obs, info = env.reset()
+    # 12 + (30//2)*4 = 72
+    assert obs.shape == (1, 72)
+    assert env.action_space.shape == (1, 4)
+    a = np.zeros((1, 4), np.float32)
+    obs, rew, term, trunc, _ = env.step(a)
+    # drone starts near z=0.1125, target z=1 -> dist<~0.9 -> reward ~2-0.63
+    dist = np.linalg.norm(np.array([0, 0, 1]) - obs[0, 0:3])
+    np.testing.assert_allclose(rew, max(0, 2 - dist**4), rtol=1e-5)
+    assert not term
+    # action history: newest action is at the END of the obs tail
+    np.testing.assert_allclose(obs[0, -4:], a[0], atol=1e-7)
+
+
+def test_hover_truncation_on_timeout():
+    env = HoverAviary(physics=Physics.DYN, ctrl_freq=30)
+    env.reset()
+    a = np.zeros((1, 4), np.float32)
+    truncs = []
+    for i in range(8 * 30 + 1):
+        obs, r, te, tr, _ = env.step(a)
+        truncs.append(tr)
+        if tr:
+            break
+    # hovering-ish action is 0 -> hover_rpm, drone rises slowly; timeout at
+    # step_counter/240 > 8 -> after 241*8 = ... with ctrl 30: 8s = 240 steps
+    assert truncs[-1]
+    assert len(truncs) == 8 * 30 + 1 or len(truncs) < 8 * 30 + 1
+
+
+def test_hover_truncation_on_tilt_or_box():
+    env = HoverAviary(physics=Physics.DYN, ctrl_freq=30)
+    env.reset()
+    # hard asymmetric action tips the drone over quickly (CF2X mixer:
+    # x_torque ~ (f0 + f1 - f2 - f3), so [+,+,-,-] rolls hard)
+    a = np.array([[1.0, 1.0, -1.0, -1.0]], np.float32)
+    done = False
+    for i in range(60):
+        obs, r, te, tr, _ = env.step(a)
+        if tr:
+            done = True
+            break
+    assert done
+
+
+def test_multihover_reward_sums():
+    env = MultiHoverAviary(num_drones=2, physics=Physics.DYN)
+    obs, _ = env.reset()
+    assert obs.shape == (2, 72)
+    _, rew, *_ = env.step(np.zeros((2, 4), np.float32))
+    assert np.isscalar(rew) or rew.shape == ()
+    assert 0 <= rew <= 4  # two drones, max 2 each
+
+
+def test_velocity_aviary_tracks_direction():
+    # PYB mode: the reference's default for closed-loop PID demos.  (In DYN
+    # mode the reference's roll-torque sign is opposite the mixer's, an
+    # upstream quirk both engines share, and the roll axis is unstable.)
+    env = VelocityAviary(num_drones=1, physics=Physics.PYB, pyb_freq=240,
+                         ctrl_freq=48)
+    obs, _ = env.reset()
+    # command +x at full fraction for 2 seconds
+    a = np.array([[1.0, 0.0, 0.0, 1.0]], np.float32)
+    for _ in range(96):
+        obs, *_ = env.step(a)
+    assert obs[0, 0] > 0.15  # moved in +x
+    vx = obs[0, 10]
+    assert vx > 0.1
+    # speed limited: 0.03 * 30 km/h = 0.25 m/s
+    assert vx < 0.3
+
+
+def test_next_waypoint():
+    cur = jnp.asarray([0.0, 0.0, 0.0])
+    dst = jnp.asarray([10.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(next_waypoint(cur, dst, 1.0)),
+                               [1, 0, 0], atol=1e-7)
+    near = jnp.asarray([9.5, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(next_waypoint(near, dst, 1.0)),
+                               [10, 0, 0], atol=1e-7)
+
+
+def test_batched_env_autoreset():
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    task = HoverTask(act=ActionType.RPM)
+    benv = BatchedEnv(cfg, task, num_envs=8)
+    state, obs = benv.reset()
+    assert obs.shape == (8, 1, 72)
+    # full-throttle tilt crashes some envs; ensure state stays finite and
+    # auto-reset returns to init
+    a = jnp.tile(jnp.asarray([[1.0, 1.0, -1.0, -1.0]], jnp.float32),
+                 (8, 1, 1))
+    for _ in range(80):
+        state, obs, r, te, tr = benv.step(state, a)
+    assert bool(jnp.all(jnp.isfinite(obs)))
+    # after truncation the env restarts near the spawn point
+    assert bool(jnp.all(state.pos[..., 2] < 2.5))
+
+
+def test_physics_modes_compile_and_run():
+    for phys in [Physics.PYB, Physics.DYN, Physics.PYB_GND, Physics.PYB_DRAG,
+                 Physics.PYB_DW, Physics.PYB_GND_DRAG_DW]:
+        cfg = AviaryConfig(drone=P.CF2X, num_drones=2, physics=phys,
+                           pyb_freq=240, ctrl_freq=48)
+        task = CtrlTask()
+        st, obs, _ = reset(cfg, task)
+        rpm = jnp.full((2, 4), P.CF2X.hover_rpm)
+        st, obs, r, te, tr, _ = jax.jit(
+            lambda s, a: step(cfg, task, s, a))(st, rpm)
+        assert bool(jnp.all(jnp.isfinite(obs)))
+
+
+def test_pyb_mode_ground_contact():
+    """In PYB mode a powered-off drone falls to the ground and rests there."""
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                       pyb_freq=240, ctrl_freq=240)
+    task = CtrlTask()
+    st, obs, _ = reset(cfg, task)
+    zero = jnp.zeros((1, 4))
+    stepper = jax.jit(lambda s: step(cfg, task, s, zero)[0])
+    for _ in range(240):
+        st = stepper(st)
+    z = float(st.pos[0, 2])
+    assert 0.0 <= z < 0.05  # resting on the plane, not through it
+    assert abs(float(st.vel[0, 2])) < 1e-2
+
+
+def test_gym_registration():
+    import gymnasium as gym
+    import gym_pybullet_drones_tpu  # noqa: F401
+    env = gym.make("hover-aviary-v0", physics=Physics.DYN)
+    obs, info = env.reset()
+    assert obs.shape == (1, 72)
