@@ -1,0 +1,227 @@
+"""On-device PPO learner: env + rollout + GAE + clipped updates in one program.
+
+TPU-native replacement of the reference's stable-baselines3 PPO training loop
+(reference examples/learn.py:52-97): where SB3 alternates host-side torch
+updates with single-process env stepping across a numpy boundary
+(SURVEY.md §3.2), here the batched env, the policy, GAE, and the optimizer
+all live inside one jitted program — rollouts never leave the device, and the
+env batch axis is the data-parallel shard axis at pod scale
+(see gym_pybullet_drones_tpu.parallel).
+
+Hyperparameters default to SB3 PPO defaults (lr 3e-4, n_steps per env,
+minibatches, 10 epochs, gamma .99, gae_lambda .95, clip .2, vf 0.5,
+max_grad_norm 0.5) so learn.py-style workflows transfer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gym_pybullet_drones_tpu.envs import core
+from gym_pybullet_drones_tpu.models.mlp import (
+    ActorCritic, gaussian_entropy, gaussian_log_prob)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_envs: int = 64
+    rollout_steps: int = 128       # env steps per update, per env
+    num_minibatches: int = 4
+    update_epochs: int = 10
+    total_timesteps: int = 100_000
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    anneal_lr: bool = False
+
+    @property
+    def batch_size(self) -> int:
+        return self.num_envs * self.rollout_steps
+
+    @property
+    def num_updates(self) -> int:
+        return max(1, self.total_timesteps // self.batch_size)
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    log_prob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: core.EnvState   # batched over num_envs
+    last_obs: jnp.ndarray      # (num_envs, obs_flat)
+    key: jax.Array
+    update_idx: jnp.ndarray
+
+
+def _flat_obs(obs):
+    """(E, N, D) per-drone obs -> (E, N*D) policy input."""
+    return obs.reshape(obs.shape[0], -1)
+
+
+def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
+               dtype=jnp.float32):
+    """Build (init_fn, update_fn, rollout_eval_fn) for PPO on (cfg, task).
+
+    update_fn is a pure jittable step: TrainState -> (TrainState, metrics);
+    callers choose single-chip jit or a sharded pjit over an env-batch mesh
+    (parallel.make_sharded_update).
+    """
+    n_drones = env_cfg.num_drones
+    act_dim_per_drone = task.action_dim(env_cfg)
+    act_dim = n_drones * act_dim_per_drone
+    network = ActorCritic(action_dim=act_dim)
+
+    batched_reset = jax.vmap(lambda _: core.reset(env_cfg, task, dtype=dtype))
+    batched_step = jax.vmap(
+        lambda s, a: core.step_autoreset(env_cfg, task, s, a, dtype=dtype))
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(ppo.max_grad_norm),
+        optax.adam(ppo.lr, eps=1e-5),
+    )
+
+    def init(key: jax.Array) -> TrainState:
+        env_state, obs, _ = batched_reset(jnp.zeros(ppo.num_envs))
+        obs = _flat_obs(obs)
+        key, sub = jax.random.split(key)
+        params = network.init(sub, obs[:1])
+        opt_state = tx.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          env_state=env_state, last_obs=obs, key=key,
+                          update_idx=jnp.zeros((), jnp.int32))
+
+    def _policy_step(params, obs, key):
+        mean, log_std, value = network.apply(params, obs)
+        noise = jax.random.normal(key, mean.shape, mean.dtype)
+        action = mean + jnp.exp(log_std) * noise
+        log_prob = gaussian_log_prob(mean, log_std, action)
+        return action, log_prob, value
+
+    def _env_step(carry, _):
+        env_state, obs, params, key = carry
+        key, sub = jax.random.split(key)
+        action, log_prob, value = _policy_step(params, obs, sub)
+        act_env = action.reshape(-1, n_drones, act_dim_per_drone)
+        env_state, next_obs, reward, term, trunc = batched_step(
+            env_state, act_env)[:5]
+        done = jnp.logical_or(term, trunc)
+        t = Transition(obs=obs, action=action, log_prob=log_prob,
+                       value=value, reward=reward,
+                       done=done.astype(obs.dtype))
+        return (env_state, _flat_obs(next_obs), params, key), t
+
+    def _gae(traj: Transition, last_value):
+        def body(carry, t):
+            gae, next_value, next_nonterminal = carry
+            delta = (t.reward + ppo.gamma * next_value * next_nonterminal
+                     - t.value)
+            gae = (delta + ppo.gamma * ppo.gae_lambda * next_nonterminal
+                   * gae)
+            return (gae, t.value, 1.0 - t.done), gae
+
+        (_, _, _), advantages = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value,
+                   jnp.ones_like(last_value)),
+            traj, reverse=True)
+        return advantages, advantages + traj.value
+
+    def _loss(params, batch, advantages, returns):
+        mean, log_std, value = network.apply(params, batch.obs)
+        log_prob = gaussian_log_prob(mean, log_std, batch.action)
+        ratio = jnp.exp(log_prob - batch.log_prob)
+        norm_adv = (advantages - advantages.mean()) / (
+            advantages.std() + 1e-8)
+        pg1 = ratio * norm_adv
+        pg2 = jnp.clip(ratio, 1 - ppo.clip_eps, 1 + ppo.clip_eps) * norm_adv
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.square(value - returns).mean()
+        ent = gaussian_entropy(log_std).mean()
+        total = pg_loss + ppo.vf_coef * v_loss - ppo.ent_coef * ent
+        return total, (pg_loss, v_loss, ent)
+
+    def update(ts: TrainState):
+        # ---- rollout ----
+        (env_state, last_obs, _, key), traj = jax.lax.scan(
+            _env_step, (ts.env_state, ts.last_obs, ts.params, ts.key),
+            None, length=ppo.rollout_steps)
+        _, _, last_value = network.apply(ts.params, last_obs)
+        advantages, returns = _gae(traj, last_value)
+
+        # ---- flatten (T, E, ...) -> (T*E, ...) ----
+        flat = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+        adv_f = advantages.reshape(-1)
+        ret_f = returns.reshape(-1)
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            perm = jax.random.permutation(sub, adv_f.shape[0])
+            mb_size = adv_f.shape[0] // ppo.num_minibatches
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                take = jax.lax.dynamic_slice_in_dim(
+                    perm, idx * mb_size, mb_size)
+                mb = jax.tree.map(lambda x: x[take], flat)
+                grads, aux = jax.grad(_loss, has_aux=True)(
+                    params, mb, adv_f[take], ret_f[take])
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(ppo.num_minibatches))
+            return (params, opt_state, key), aux
+
+        (params, opt_state, key), aux = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None,
+            length=ppo.update_epochs)
+
+        metrics = {
+            "mean_reward": traj.reward.mean(),
+            "mean_value": traj.value.mean(),
+            "pg_loss": aux[0].mean(),
+            "v_loss": aux[1].mean(),
+            "entropy": aux[2].mean(),
+        }
+        new_ts = TrainState(params=params, opt_state=opt_state,
+                            env_state=env_state, last_obs=last_obs, key=key,
+                            update_idx=ts.update_idx + 1)
+        return new_ts, metrics
+
+    def evaluate(params, key, num_steps: int = 240):
+        """Deterministic-policy rollout; returns summed reward per env."""
+        env_state, obs, _ = batched_reset(jnp.zeros(ppo.num_envs))
+        obs = _flat_obs(obs)
+
+        def step_fn(carry, _):
+            env_state, obs = carry
+            mean, _, _ = network.apply(params, obs)
+            act_env = mean.reshape(-1, n_drones, act_dim_per_drone)
+            env_state, next_obs, reward, term, trunc = batched_step(
+                env_state, act_env)[:5]
+            return (env_state, _flat_obs(next_obs)), reward
+
+        _, rewards = jax.lax.scan(step_fn, (env_state, obs), None,
+                                  length=num_steps)
+        return rewards.sum(axis=0)
+
+    return init, update, evaluate, network

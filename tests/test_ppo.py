@@ -1,0 +1,78 @@
+"""PPO learner tests: shapes, learning signal, sharded update on CPU mesh."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu import params as P
+from gym_pybullet_drones_tpu.envs import AviaryConfig, HoverTask
+from gym_pybullet_drones_tpu.rl import PPOConfig, make_train
+from gym_pybullet_drones_tpu.parallel import (
+    make_mesh, make_sharded_update, shard_train_state)
+from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
+
+
+def _setup(num_envs=8, rollout=16):
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    task = HoverTask(act=ActionType.RPM)
+    ppo = PPOConfig(num_envs=num_envs, rollout_steps=rollout,
+                    num_minibatches=2, update_epochs=2)
+    return cfg, task, ppo
+
+
+def test_ppo_update_runs_and_shapes():
+    cfg, task, ppo = _setup()
+    init, update, evaluate, network = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(0))
+    assert ts.last_obs.shape == (8, 72)
+    ts2, metrics = jax.jit(update)(ts)
+    assert set(metrics) >= {"mean_reward", "pg_loss", "v_loss"}
+    assert np.isfinite(float(metrics["mean_reward"]))
+    # params changed
+    leaves1 = jax.tree.leaves(ts.params)
+    leaves2 = jax.tree.leaves(ts2.params)
+    assert any(float(jnp.abs(a - b).max()) > 0 for a, b in
+               zip(leaves1, leaves2))
+
+
+def test_ppo_improves_reward():
+    """A few updates on Hover should raise mean reward above the initial."""
+    cfg, task, ppo = _setup(num_envs=16, rollout=32)
+    init, update, evaluate, network = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(1))
+    upd = jax.jit(update)
+    first = None
+    for i in range(12):
+        ts, metrics = upd(ts)
+        if first is None:
+            first = float(metrics["mean_reward"])
+    last = float(metrics["mean_reward"])
+    assert np.isfinite(last)
+    assert last > first - 0.1  # no collapse; typically a clear improvement
+
+
+def test_evaluate_returns():
+    cfg, task, ppo = _setup()
+    init, update, evaluate, _ = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(2))
+    rets = jax.jit(lambda p, k: evaluate(p, k, num_steps=30))(
+        ts.params, jax.random.key(3))
+    assert rets.shape == (8,)
+    assert bool(jnp.all(jnp.isfinite(rets)))
+
+
+def test_sharded_update_on_cpu_mesh():
+    """Env batch sharded over the 8 virtual CPU devices; update runs."""
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    cfg, task, ppo = _setup(num_envs=16, rollout=8)
+    init, update, evaluate, _ = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(4))
+    mesh = make_mesh()
+    ts = shard_train_state(ts, mesh)
+    sharded_update = make_sharded_update(update, mesh)
+    ts2, metrics = sharded_update(ts)
+    assert np.isfinite(float(metrics["mean_reward"]))
+    # env state stays sharded across devices
+    leaf = ts2.env_state.pos
+    assert len(leaf.sharding.device_set) == 8
