@@ -164,3 +164,22 @@ def integrate_quat(q: jnp.ndarray, omega: jnp.ndarray, dt: float) -> jnp.ndarray
     # np.isclose(omega_norm, 0): |omega_norm| <= 1e-8 (atol), rtol term is 0.
     keep = (omega_norm <= 1e-8)[..., None]
     return jnp.where(keep, q, new_q)
+
+
+def integrate_quat_world(q: jnp.ndarray, omega_world: jnp.ndarray,
+                         dt: float) -> jnp.ndarray:
+    """Exponential-map integration with a WORLD-frame angular velocity.
+
+    q' = exp(omega_world * dt) (x) q  (left Hamilton product), the update
+    Bullet's integrator applies to base orientations.  `integrate_quat`
+    above is the BODY-rate (right-multiply) variant used by the explicit
+    DYN mode.
+    """
+    norm = jnp.linalg.norm(omega_world, axis=-1, keepdims=True)
+    theta = norm * dt / 2
+    safe = jnp.where(norm > 0, norm, 1.0)
+    axis = omega_world / safe
+    rot = jnp.concatenate(
+        [jnp.sin(theta) * axis, jnp.cos(theta)], axis=-1)
+    out = quat_mul(rot, q)
+    return jnp.where(norm <= 1e-8, q, out)

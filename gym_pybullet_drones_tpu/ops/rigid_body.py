@@ -98,7 +98,8 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
     # Transform integration
     pos = state.pos + dt * vel
     # Bullet integrates orientation with the world angular velocity
-    quat = quat_ops.integrate_quat(state.quat, ang_v, dt)
+    # (left-multiplied exponential map — NOT the body-rate variant)
+    quat = quat_ops.integrate_quat_world(state.quat, ang_v, dt)
 
     # --- Ground-plane contact (approximate) ---
     # Lowest point of the collision cylinder: account for tilt via the body z
