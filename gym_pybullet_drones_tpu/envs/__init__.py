@@ -24,3 +24,5 @@ from gym_pybullet_drones_tpu.envs.gym_adapter import (  # noqa: F401
     MultiHoverAviary,
     VelocityAviary,
 )
+from gym_pybullet_drones_tpu.envs.cf_aviary import CFAviary  # noqa: F401
+from gym_pybullet_drones_tpu.envs.beta_aviary import BetaAviary  # noqa: F401
