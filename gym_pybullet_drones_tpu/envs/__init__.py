@@ -26,3 +26,4 @@ from gym_pybullet_drones_tpu.envs.gym_adapter import (  # noqa: F401
 )
 from gym_pybullet_drones_tpu.envs.cf_aviary import CFAviary  # noqa: F401
 from gym_pybullet_drones_tpu.envs.beta_aviary import BetaAviary  # noqa: F401
+from gym_pybullet_drones_tpu.envs.routing import RoutingTask, make_routing_config  # noqa: F401

@@ -69,6 +69,10 @@ class FunctionalAviary(gym.Env):
 
     def _observation_space(self):
         n = self.cfg.num_drones
+        if isinstance(self.task, tasks.RLTask) and \
+                self.task.obs == ObservationType.RGB:
+            return spaces.Box(low=0, high=255, shape=(n, 48, 64, 4),
+                              dtype=np.uint8)
         if isinstance(self.task, tasks.RLTask):
             d = self.task.obs_dim(self.cfg)
             lo = np.full((n, d), -np.inf, np.float32)
@@ -116,6 +120,40 @@ class FunctionalAviary(gym.Env):
     # -- extras mirroring reference helpers -----------------------------
     def getDroneStateVector(self, nth_drone: int) -> np.ndarray:
         return np.asarray(core.state_vector(self.state))[nth_drone]
+
+    def getDroneImages(self, nth_drone: int, segmentation: bool = True):
+        """Per-drone POV (rgb, depth, seg) via the on-device ray tracer
+        (reference BaseAviary._getDroneImages:565-617)."""
+        from gym_pybullet_drones_tpu.ops import render, quat as quat_ops
+        scene = render.landmark_scene()
+        rot = quat_ops.quat_to_mat(self.state.quat)
+        rgba, dep, seg = render.render(
+            self.cfg.drone, scene, self.state.pos[nth_drone],
+            rot[nth_drone], drone_pos=self.state.pos)
+        return np.asarray(rgba), np.asarray(dep), np.asarray(seg)
+
+    def exportImage(self, img_input, path: str, frame_num: int = 0,
+                    img_type=None):
+        """Save an RGB(A)/depth/seg capture as PNG
+        (reference BaseAviary._exportImage:621-654)."""
+        import os
+        from PIL import Image
+        from gym_pybullet_drones_tpu.utils.enums import ImageType
+        img_type = ImageType.RGB if img_type is None else img_type
+        os.makedirs(path, exist_ok=True)
+        out = os.path.join(path, f"frame_{frame_num}.png")
+        arr = np.asarray(img_input)
+        if img_type == ImageType.RGB:
+            Image.fromarray(arr.astype("uint8"), "RGBA").save(out)
+        elif img_type == ImageType.BW:
+            Image.fromarray(
+                (np.sum(arr[:, :, 0:2], axis=2) / 3).astype("uint8")
+            ).save(out)
+        else:  # DEP / SEG: normalize to 0..255 grayscale
+            lo, hi = float(np.min(arr)), float(np.max(arr))
+            scaled = (arr - lo) * 255 / max(hi - lo, 1e-9)
+            Image.fromarray(scaled.astype("uint8")).save(out)
+        return out
 
     def getAdjacencyMatrix(self) -> np.ndarray:
         return np.asarray(core.adjacency_matrix(self.cfg, self.state))

@@ -1,0 +1,108 @@
+"""Multi-agent routing task: waypoint-stepped navigation to per-drone goals.
+
+First-class environment for the routing-fork capability that motivates this
+framework (reference `_calculateNextStep` BaseAviary.py:1105-1147 and the
+adjacency neighborhood machinery :658-675): each drone must reach its own
+destination; actions command target positions that are clamped to unit
+waypoint steps (exactly the reference's intermediate-waypoint rule), an
+embedded DSL-PID flies the waypoints, and the observation exposes both own
+kinematics and goal-relative/neighbor information.
+
+Scales to pod-size MARL fleets: the task is a frozen dataclass over the same
+functional core as Hover/MultiHover, so it vmaps over env batches and shards
+over a device mesh unchanged (see gym_pybullet_drones_tpu.parallel).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.utils.enums import ActionType, ObservationType
+from gym_pybullet_drones_tpu.ops import quat as quat_ops
+from gym_pybullet_drones_tpu.envs.core import AviaryConfig, EnvState, next_waypoint
+from gym_pybullet_drones_tpu.envs.tasks import RLTask
+
+
+@dataclasses.dataclass(frozen=True)
+class RoutingTask(RLTask):
+    """Per-drone goal navigation with waypoint stepping and safety shaping.
+
+    destinations: ((x, y, z), ...) per drone (tuple -> hashable/static).
+    Action (PID type): a target position per drone, advanced at most
+    `step_size` per control step toward it (reference waypoint semantics).
+    Reward: progress toward goal, arrival bonus, separation penalty within
+    `collision_radius`.
+    """
+
+    act: ActionType = ActionType.PID
+    obs: ObservationType = ObservationType.KIN
+    destinations: tuple = ((1.0, 1.0, 1.0),)
+    episode_len_sec: float = 16.0
+    arrival_tol: float = 0.05
+    collision_radius: float = 0.12
+    step_size: float = 1.0
+
+    def _dest(self, state):
+        return jnp.asarray(self.destinations, state.pos.dtype)
+
+    def obs_dim(self, cfg) -> int:
+        # kinematics + action history + goal vector + nearest-neighbor vector
+        return super().obs_dim(cfg) + 6
+
+    def compute_obs(self, cfg, state: EnvState):
+        base = super().compute_obs(cfg, state)           # (N, 12 + hist)
+        goal_vec = self._dest(state) - state.pos         # (N, 3)
+        # nearest-neighbor displacement (self masked out)
+        diff = state.pos[None, :, :] - state.pos[:, None, :]   # [n, i]
+        dist = jnp.linalg.norm(diff, axis=-1)
+        n = cfg.num_drones
+        dist = dist + jnp.eye(n, dtype=dist.dtype) * 1e9
+        nearest = jnp.argmin(dist, axis=-1)
+        nn_vec = jnp.take_along_axis(
+            diff, nearest[:, None, None].repeat(3, -1), axis=1)[:, 0, :]
+        return jnp.concatenate([base, goal_vec, nn_vec], axis=-1)
+
+    def preprocess_action(self, cfg, state: EnvState, action):
+        # clamp commanded targets to a unit waypoint step (reference rule)
+        clipped = next_waypoint(state.pos, action, self.step_size)
+        return super().preprocess_action(cfg, state, clipped)
+
+    def compute_reward(self, cfg, state):
+        d = jnp.linalg.norm(self._dest(state) - state.pos, axis=-1)  # (N,)
+        arrival = (d < self.arrival_tol).astype(state.pos.dtype)
+        # separation penalty from the adjacency structure
+        diff = state.pos[None, :, :] - state.pos[:, None, :]
+        dist = jnp.linalg.norm(diff, axis=-1)
+        n = cfg.num_drones
+        close = (dist < self.collision_radius) & ~jnp.eye(n, dtype=bool)
+        penalty = jnp.sum(close.astype(state.pos.dtype), axis=-1)
+        return jnp.sum(-d + 10.0 * arrival - 5.0 * penalty)
+
+    def compute_terminated(self, cfg, state):
+        d = jnp.linalg.norm(self._dest(state) - state.pos, axis=-1)
+        return jnp.all(d < self.arrival_tol)
+
+    def compute_truncated(self, cfg, state):
+        rpy = quat_ops.quat_to_rpy(state.quat)
+        tilted = jnp.any((jnp.abs(rpy[:, 0]) > 0.8)
+                         | (jnp.abs(rpy[:, 1]) > 0.8))
+        timeout = (state.step_counter / cfg.pyb_freq) > self.episode_len_sec
+        return tilted | timeout
+
+
+def make_routing_config(num_drones: int = 4, spacing: float = 0.5,
+                        physics=None, pyb_freq: int = 240,
+                        ctrl_freq: int = 30):
+    """Convenience: a line of drones routed to reversed goal positions."""
+    from gym_pybullet_drones_tpu.params import CF2X
+    from gym_pybullet_drones_tpu.utils.enums import Physics
+    inits = tuple((i * spacing, 0.0, 0.3) for i in range(num_drones))
+    dests = tuple(((num_drones - 1 - i) * spacing, 1.5, 1.0)
+                  for i in range(num_drones))
+    cfg = AviaryConfig(drone=CF2X, num_drones=num_drones,
+                       physics=physics or Physics.PYB, pyb_freq=pyb_freq,
+                       ctrl_freq=ctrl_freq, init_xyzs=inits,
+                       neighbourhood_radius=1.0)
+    task = RoutingTask(destinations=dests)
+    return cfg, task

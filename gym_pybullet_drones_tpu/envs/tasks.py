@@ -160,7 +160,16 @@ class RLTask:
         raise ValueError(f"unsupported action type {self.act}")
 
     def compute_obs(self, cfg, state: EnvState):
-        """(N, 12 + BUF*A): [pos, rpy, vel, ang_v] + action history."""
+        """KIN: (N, 12 + BUF*A) [pos, rpy, vel, ang_v] + action history.
+        RGB: (N, 48, 64, 4) per-drone ray-traced camera images
+        (reference BaseRLAviary.py:252-255,293-306)."""
+        if self.obs == ObservationType.RGB:
+            from gym_pybullet_drones_tpu.ops import render
+            scene = render.landmark_scene(state.pos.dtype)
+            rot = quat_ops.quat_to_mat(state.quat)
+            rgba, _, _ = render.render(cfg.drone, scene, state.pos, rot,
+                                       drone_pos=state.pos)
+            return rgba
         rpy = quat_ops.quat_to_rpy(state.quat)
         obs12 = jnp.concatenate(
             [state.pos, rpy, state.vel, state.ang_v], axis=-1)
