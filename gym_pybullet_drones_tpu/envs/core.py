@@ -130,6 +130,21 @@ def adjacency_matrix(cfg: AviaryConfig, state: EnvState) -> jnp.ndarray:
     return adj.astype(state.pos.dtype)
 
 
+def normalized_action_to_rpm(cfg: AviaryConfig,
+                             action: jnp.ndarray) -> jnp.ndarray:
+    """De-normalize [-1, 1] actions to [0, MAX_RPM] rpm.
+
+    Parity: reference BaseAviary._normalizedActionToRPM (:893-911) — the
+    piecewise-linear map -1 -> 0, 0 -> HOVER_RPM, 1 -> MAX_RPM.  (The
+    reference prints a warning on out-of-range input; here inputs are
+    clipped, the jit-compatible equivalent.)
+    """
+    action = jnp.clip(action, -1.0, 1.0)
+    d = cfg.drone
+    return jnp.where(action <= 0, (action + 1) * d.hover_rpm,
+                     d.hover_rpm + (d.max_rpm - d.hover_rpm) * action)
+
+
 def next_waypoint(current_position: jnp.ndarray, destination: jnp.ndarray,
                   step_size: float = 1.0) -> jnp.ndarray:
     """Routing-fork waypoint stepper: move step_size toward destination.

@@ -27,10 +27,19 @@ class FunctionalAviary(gym.Env):
 
     metadata = {"render_modes": ["human"]}
 
-    def __init__(self, cfg: core.AviaryConfig, task, dtype=jnp.float32):
+    def __init__(self, cfg: core.AviaryConfig, task, dtype=jnp.float32,
+                 record: bool = False, output_folder: str = "results"):
         self.cfg = cfg
         self.task = task
         self.dtype = dtype
+        # Frame recording (reference BaseAviary DIRECT-mode PNG capture,
+        # :174-192,292-317): ray-traced third-person frames at 24 fps.
+        self.RECORD = record
+        self.OUTPUT_FOLDER = output_folder
+        self.FRAME_PER_SEC = 24
+        self.CAPTURE_FREQ = max(1, int(cfg.pyb_freq / self.FRAME_PER_SEC))
+        self.FRAME_NUM = 0
+        self._record_dir = None
         self._reset = jax.jit(
             lambda: core.reset(cfg, task, dtype=dtype))
         self._step = jax.jit(
@@ -100,10 +109,43 @@ class FunctionalAviary(gym.Env):
 
     def step(self, action):
         action = jnp.asarray(action, self.dtype)
+        if self.RECORD and \
+                int(self.state.step_counter) % self.CAPTURE_FREQ == 0:
+            self._capture_frame()
         self.state, obs, reward, term, trunc, info = self._step(
             self.state, action)
         return (np.asarray(obs), float(reward), bool(term), bool(trunc),
                 info)
+
+    def _capture_frame(self):
+        """Save a third-person PNG frame (reference CAM_VIEW: distance 3,
+        yaw -30 deg, pitch -30 deg, target the origin; :180-192)."""
+        import os
+        from PIL import Image
+        from gym_pybullet_drones_tpu.ops import render
+        if self._record_dir is None:
+            from datetime import datetime
+            self._record_dir = os.path.join(
+                self.OUTPUT_FOLDER, "recording_"
+                + datetime.now().strftime("%m.%d.%Y_%H.%M.%S"))
+            os.makedirs(self._record_dir, exist_ok=True)
+        yaw, pitch, dist = np.radians(-30.0), np.radians(-30.0), 3.0
+        eye = np.array([dist * np.cos(pitch) * np.cos(yaw),
+                        dist * np.cos(pitch) * np.sin(yaw),
+                        -dist * np.sin(pitch)])
+        forward = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(forward, up)
+        right /= np.linalg.norm(right)
+        cam_up = np.cross(right, forward)
+        rot = np.stack([forward, -right, cam_up], axis=-1)  # col0 = forward
+        rgba, _, _ = render.render(
+            self.cfg.drone, render.landmark_scene(),
+            jnp.asarray(eye, jnp.float32), jnp.asarray(rot, jnp.float32),
+            drone_pos=self.state.pos, width=160, height=120)
+        Image.fromarray(np.asarray(rgba).astype("uint8"), "RGBA").save(
+            os.path.join(self._record_dir, f"frame_{self.FRAME_NUM}.png"))
+        self.FRAME_NUM += 1
 
     def render(self):
         """Text render with real-time factor (reference BaseAviary.py:387-412)."""
@@ -181,7 +223,8 @@ class CtrlAviary(FunctionalAviary):
         cfg = _make_cfg(drone_model, num_drones, neighbourhood_radius,
                         initial_xyzs, initial_rpys, physics, pyb_freq,
                         ctrl_freq)
-        super().__init__(cfg, tasks.CtrlTask())
+        super().__init__(cfg, tasks.CtrlTask(), record=record,
+                         output_folder=output_folder)
 
 
 class VelocityAviary(FunctionalAviary):
@@ -195,7 +238,8 @@ class VelocityAviary(FunctionalAviary):
         cfg = _make_cfg(drone_model, num_drones, neighbourhood_radius,
                         initial_xyzs, initial_rpys, physics, pyb_freq,
                         ctrl_freq)
-        super().__init__(cfg, tasks.VelocityTask())
+        super().__init__(cfg, tasks.VelocityTask(), record=record,
+                         output_folder=output_folder)
 
 
 class HoverAviary(FunctionalAviary):
@@ -208,7 +252,7 @@ class HoverAviary(FunctionalAviary):
         cfg = _make_cfg(drone_model, 1, np.inf, initial_xyzs, initial_rpys,
                         physics, pyb_freq, ctrl_freq)
         task = tasks.HoverTask(act=ActionType(act), obs=ObservationType(obs))
-        super().__init__(cfg, task)
+        super().__init__(cfg, task, record=record)
         self.EPISODE_LEN_SEC = task.episode_len_sec
         self.TARGET_POS = np.asarray(task.target_pos)
 
@@ -226,7 +270,7 @@ class MultiHoverAviary(FunctionalAviary):
                         ctrl_freq)
         task = tasks.MultiHoverTask(act=ActionType(act),
                                     obs=ObservationType(obs))
-        super().__init__(cfg, task)
+        super().__init__(cfg, task, record=record)
         self.EPISODE_LEN_SEC = task.episode_len_sec
         self.TARGET_POS = np.asarray(task._targets(
             cfg, core.reset(cfg, task)[0]))
