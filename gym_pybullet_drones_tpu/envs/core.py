@@ -235,11 +235,18 @@ def step(cfg: AviaryConfig, task, state: EnvState, action: jnp.ndarray):
     action = jnp.asarray(action, state.pos.dtype)  # guard dtype promotion
     rpm, state = task.preprocess_action(cfg, state, action)
 
-    def substep(s, _):
-        return _apply_physics_substep(cfg, s, rpm), None
-
-    state, _ = jax.lax.scan(substep, state, None,
-                            length=cfg.steps_per_ctrl)
+    # Substep loop: statically unrolled for small repeat counts so XLA fuses
+    # the whole control step into one kernel region (a lax.scan lowers to an
+    # XLA While whose per-iteration barrier blocks fusion and costs far more
+    # than the physics itself at these tensor sizes); scan only for large
+    # ratios where code size would blow up.
+    if cfg.steps_per_ctrl <= 16:
+        for _ in range(cfg.steps_per_ctrl):
+            state = _apply_physics_substep(cfg, state, rpm)
+    else:
+        state, _ = jax.lax.scan(
+            lambda s, _: (_apply_physics_substep(cfg, s, rpm), None),
+            state, None, length=cfg.steps_per_ctrl)
     state = state._replace(
         step_counter=state.step_counter + cfg.steps_per_ctrl)
     obs = task.compute_obs(cfg, state)

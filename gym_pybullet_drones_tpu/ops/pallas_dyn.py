@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: a fully-fused DYN control step (N substeps in VMEM).
+
+The XLA-compiled explicit-dynamics path (ops/dynamics.py) lowers each
+substep to several small VPU kernels over (B, 3)/(B, 4) tensors whose
+128-wide lane dimension is almost entirely padding; kernel-launch and
+layout overhead dominate at simulation state sizes.  This kernel removes
+both: state is packed **component-per-sublane-row, env-per-lane** as a
+(16, B) block, and all `n_substeps` substeps of one control step execute
+inside a single Pallas program with every intermediate held in vector
+registers / VMEM — one launch per control step, full lane utilization.
+
+Row layout (16, B):
+    0..2  pos xyz      3..6  quat xyzw      7..9  vel xyz
+   10..12 body rpy-rates xyz               13..15 world ang_v xyz
+
+Semantics match ops/dynamics.dyn_step (reference BaseAviary.py:815-889)
+including the stale-rotation ang_v store and the zero-omega quat branch,
+at float32 precision (the float64 parity path stays on the XLA kernels).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_pybullet_drones_tpu.params import DroneParams
+from gym_pybullet_drones_tpu.utils.enums import DroneModel
+
+LANE = 128
+
+
+def _kernel(params: DroneParams, n_substeps: int, dt: float,
+            s_ref, rpm_ref, o_ref):
+    # load rows as (1, B) vectors
+    px, py, pz = s_ref[0:1, :], s_ref[1:2, :], s_ref[2:3, :]
+    qx, qy, qz, qw = (s_ref[3 + i:4 + i, :] for i in range(4))
+    vx, vy, vz = s_ref[7:8, :], s_ref[8:9, :], s_ref[9:10, :]
+    wx, wy, wz = s_ref[10:11, :], s_ref[11:12, :], s_ref[12:13, :]
+
+    r0, r1, r2, r3 = (rpm_ref[i:i + 1, :] for i in range(4))
+    kf, km = params.kf, params.km
+    f0, f1, f2, f3 = (r * r * kf for r in (r0, r1, r2, r3))
+    thrust = f0 + f1 + f2 + f3
+    t0, t1, t2, t3 = (r * r * km for r in (r0, r1, r2, r3))
+    if params.model == DroneModel.RACE:
+        t0, t1, t2, t3 = -t0, -t1, -t2, -t3
+    z_torque = -t0 + t1 - t2 + t3
+    if params.model == DroneModel.CF2P:
+        x_torque = (f1 - f3) * params.l
+        y_torque = (-f0 + f2) * params.l
+    else:
+        arm = params.l / math.sqrt(2)
+        x_torque = (f0 + f1 - f2 - f3) * arm
+        y_torque = (-f0 + f1 + f2 - f3) * arm
+
+    jx, jy, jz = params.ixx, params.iyy, params.izz
+    inv_jx, inv_jy, inv_jz = 1.0 / jx, 1.0 / jy, 1.0 / jz
+    inv_m = 1.0 / params.m
+    gm = 9.8 * params.m
+
+    avx = avy = avz = None
+    for _ in range(n_substeps):
+        # rotation matrix from (normalized) quaternion
+        n2 = qx * qx + qy * qy + qz * qz + qw * qw
+        inv_n2 = 1.0 / n2
+        xx, yy, zz = qx * qx * inv_n2, qy * qy * inv_n2, qz * qz * inv_n2
+        xy, xz, yz = qx * qy * inv_n2, qx * qz * inv_n2, qy * qz * inv_n2
+        wxq, wyq, wzq = qw * qx * inv_n2, qw * qy * inv_n2, qw * qz * inv_n2
+        r00, r01, r02 = 1 - 2 * (yy + zz), 2 * (xy - wzq), 2 * (xz + wyq)
+        r10, r11, r12 = 2 * (xy + wzq), 1 - 2 * (xx + zz), 2 * (yz - wxq)
+        r20, r21, r22 = 2 * (xz - wyq), 2 * (yz + wxq), 1 - 2 * (xx + yy)
+
+        fx = r02 * thrust
+        fy = r12 * thrust
+        fz = r22 * thrust - gm
+        # tau -= w x (J w)
+        tau_x = x_torque - (wy * (jz * wz) - wz * (jy * wy))
+        tau_y = y_torque - (wz * (jx * wx) - wx * (jz * wz))
+        tau_z = z_torque - (wx * (jy * wy) - wy * (jx * wx))
+
+        vx = vx + dt * fx * inv_m
+        vy = vy + dt * fy * inv_m
+        vz = vz + dt * fz * inv_m
+        wx = wx + dt * tau_x * inv_jx
+        wy = wy + dt * tau_y * inv_jy
+        wz = wz + dt * tau_z * inv_jz
+        px = px + dt * vx
+        py = py + dt * vy
+        pz = pz + dt * vz
+
+        # exact exponential-map quat update (body rates)
+        norm = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+        theta = norm * (dt / 2)
+        c = jnp.cos(theta)
+        safe = jnp.where(norm > 0, norm, 1.0)
+        s = jnp.sin(theta) / safe
+        nqx = c * qx + s * (wz * qy - wy * qz + wx * qw)
+        nqy = c * qy + s * (-wz * qx + wx * qz + wy * qw)
+        nqz = c * qz + s * (wy * qx - wx * qy + wz * qw)
+        nqw = c * qw + s * (-wx * qx - wy * qy - wz * qz)
+        keep = norm <= 1e-8
+        qx = jnp.where(keep, qx, nqx)
+        qy = jnp.where(keep, qy, nqy)
+        qz = jnp.where(keep, qz, nqz)
+        qw = jnp.where(keep, qw, nqw)
+
+        # stored world angular velocity: PRE-step rotation, post-step rates
+        avx = r00 * wx + r01 * wy + r02 * wz
+        avy = r10 * wx + r11 * wy + r12 * wz
+        avz = r20 * wx + r21 * wy + r22 * wz
+
+    for i, row in enumerate((px, py, pz, qx, qy, qz, qw, vx, vy, vz,
+                             wx, wy, wz, avx, avy, avz)):
+        o_ref[i:i + 1, :] = row
+
+
+def _pack(state):
+    """EnvState-like pieces (B, k) -> (16, B) packed rows."""
+    flat = jnp.concatenate(
+        [state.pos, state.quat, state.vel, state.rpy_rates, state.ang_v],
+        axis=-1)                                      # (B, 16)
+    return flat.T                                     # (16, B)
+
+
+def _unpack(packed, state):
+    flat = packed.T
+    return state._replace(
+        pos=flat[:, 0:3], quat=flat[:, 3:7], vel=flat[:, 7:10],
+        rpy_rates=flat[:, 10:13], ang_v=flat[:, 13:16])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def dyn_ctrl_step(params: DroneParams, state, n_substeps: int, dt: float,
+                  rpm):
+    """Run n_substeps DYN substeps fused in one Pallas launch.
+
+    state: any NamedTuple with pos/quat/vel/rpy_rates/ang_v of shape (B, k)
+    (flattened env*drone batch); rpm: (B, 4).  Returns the updated state.
+    """
+    b = state.pos.shape[0]
+    pad = (-b) % LANE
+    packed = _pack(state)                             # (16, B)
+    rpm_t = rpm.T                                     # (4, B)
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+        rpm_t = jnp.pad(rpm_t, ((0, 0), (0, pad)))
+    bp = b + pad
+    block = min(bp, 2048)
+    if bp % block:
+        block = LANE
+    # off-TPU backends (tests) run the kernel in interpreter mode
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_kernel, params, n_substeps, dt),
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((16, bp), packed.dtype),
+        grid=(bp // block,),
+        in_specs=[
+            pl.BlockSpec((16, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(packed, rpm_t)
+    if pad:
+        out = out[:, :b]
+    return _unpack(out, state)

@@ -1,0 +1,80 @@
+"""Pallas fused DYN kernel: parity vs the XLA path (interpret mode on CPU)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu import params as P
+from gym_pybullet_drones_tpu.ops import pallas_dyn
+from gym_pybullet_drones_tpu.ops.dynamics import DynState, dyn_step
+from gym_pybullet_drones_tpu.envs import AviaryConfig, HoverTask
+from gym_pybullet_drones_tpu.envs.fast import make_batched_step
+from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
+
+from tests import _oracle as oracle
+
+DT = 1 / 240
+
+
+def _rand_state(B, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.normal(size=(B, 3)) * 0.3 + [0, 0, 1]
+    quat = np.stack([oracle.rpy_to_quat(rng.normal(size=3) * 0.2)
+                     for _ in range(B)])
+    vel = rng.normal(size=(B, 3)) * 0.3
+    rates = rng.normal(size=(B, 3))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return DynState(pos=f32(pos), quat=f32(quat), vel=f32(vel),
+                    rpy_rates=f32(rates),
+                    ang_v=jnp.zeros((B, 3), jnp.float32)), rng
+
+
+def test_pallas_matches_xla_ctrl_step():
+    model = P.CF2X
+    B = 8
+    st, rng = _rand_state(B)
+    rpm = jnp.asarray(model.hover_rpm * (1 + 0.02 * rng.normal(size=(B, 4))),
+                      jnp.float32)
+    ref = st
+    for _ in range(8):
+        ref = dyn_step(model, ref, rpm, DT)
+    out = pallas_dyn.dyn_ctrl_step(model, st, 8, DT, rpm)
+    for name in ("pos", "quat", "vel", "rpy_rates", "ang_v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+def test_pallas_zero_omega_branch():
+    model = P.CF2X
+    st = DynState(pos=jnp.zeros((4, 3), jnp.float32),
+                  quat=jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32),
+                                (4, 1)),
+                  vel=jnp.zeros((4, 3), jnp.float32),
+                  rpy_rates=jnp.zeros((4, 3), jnp.float32),
+                  ang_v=jnp.zeros((4, 3), jnp.float32))
+    rpm = jnp.full((4, 4), model.hover_rpm, jnp.float32)
+    out = pallas_dyn.dyn_ctrl_step(model, st, 8, DT, rpm)
+    # hover: quaternion unchanged, z stays 0 (hover rpm balances gravity)
+    np.testing.assert_allclose(np.asarray(out.quat), np.asarray(st.quat),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.pos[:, 2]), 0.0, atol=1e-5)
+
+
+def test_fast_batched_step_matches_core():
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    task = HoverTask(act=ActionType.RPM)
+    B = 4
+    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    state, obs = reset_fn()
+    a = jnp.asarray(0.05 * np.random.default_rng(0).normal(size=(B, 1, 4)),
+                    jnp.float32)
+    s2, obs2, r2, te2, tr2 = jax.jit(step_fn)(state, a)
+
+    from gym_pybullet_drones_tpu.envs import core
+    vstep = jax.vmap(lambda s, a: core.step_autoreset(cfg, task, s, a))
+    s3, obs3, r3, te3, tr3, _ = vstep(state, a)
+    np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r3), rtol=1e-4)
