@@ -1,0 +1,121 @@
+"""Extended benchmark suite: one JSON line per tracked config.
+
+BASELINE.md tracked configs beyond the primary bench.py metric:
+multi-drone MultiHover, the routing fleet task, PPO learner throughput, and
+(when more than one device is visible) data-mesh scaling efficiency.
+All timings force a host readback per iteration (see bench.py).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu import params as P
+from gym_pybullet_drones_tpu.envs import (
+    AviaryConfig, HoverTask, MultiHoverTask)
+from gym_pybullet_drones_tpu.envs.fast import make_batched_step
+from gym_pybullet_drones_tpu.envs.routing import make_routing_config
+from gym_pybullet_drones_tpu.rl import PPOConfig, make_train
+from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
+
+
+def _bench_env(cfg, task, num_envs, chunk=1024, repeats=3, act_dim=4):
+    reset_fn, step_fn = make_batched_step(cfg, task, num_envs)
+    state, obs = reset_fn()
+
+    def one_step(carry, action):
+        state, obs, r, te, tr = step_fn(carry, action)
+        return state, r
+
+    @jax.jit
+    def rollout(state, actions):
+        return jax.lax.scan(one_step, state, actions)
+
+    actions = 0.1 * jax.random.normal(
+        jax.random.key(0),
+        (chunk, num_envs, cfg.num_drones, act_dim), jnp.float32)
+    state, rew = rollout(state, actions)
+    float(jnp.sum(rew))
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, rew = rollout(state, actions)
+        float(jnp.sum(rew))
+        best = max(best, num_envs * chunk / (time.perf_counter() - t0))
+    return best
+
+
+def main():
+    results = []
+
+    # MultiHover: 2-drone multi-agent, 2048 envs
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=2, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    rate = _bench_env(cfg, MultiHoverTask(act=ActionType.RPM), 2048)
+    results.append({"metric": "env_steps_per_sec_multihover2x2048",
+                    "value": round(rate, 1), "unit": "env-steps/s",
+                    "vs_baseline": round(rate / 1e7, 4)})
+
+    # Routing fleet: 4-drone PID-routing, 512 envs
+    cfg, task = make_routing_config(num_drones=4, physics=Physics.DYN)
+    rate = _bench_env(cfg, task, 512, chunk=512, act_dim=3)
+    results.append({"metric": "env_steps_per_sec_routing4x512",
+                    "value": round(rate, 1), "unit": "env-steps/s",
+                    "vs_baseline": round(rate / 1e7, 4)})
+
+    # PPO learner throughput: env-steps consumed per second of training
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    ppo = PPOConfig(num_envs=2048, rollout_steps=64, num_minibatches=4,
+                    update_epochs=4)
+    init, update, _, _ = make_train(cfg, HoverTask(act=ActionType.RPM), ppo)
+    ts = init(jax.random.key(0))
+    upd = jax.jit(update)
+    ts, m = upd(ts)
+    float(m["mean_reward"])
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ts, m = upd(ts)
+        float(m["mean_reward"])
+        best = max(best, ppo.batch_size / (time.perf_counter() - t0))
+    results.append({"metric": "ppo_env_steps_per_sec_hover2048",
+                    "value": round(best, 1), "unit": "env-steps/s",
+                    "vs_baseline": round(best / 1e7, 4)})
+
+    # Mesh scaling efficiency (needs >1 device, e.g. CPU with
+    # xla_force_host_platform_device_count)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from gym_pybullet_drones_tpu.parallel import (
+            make_mesh, make_sharded_update, shard_train_state)
+        ppo_s = PPOConfig(num_envs=64 * n_dev, rollout_steps=16,
+                          num_minibatches=2, update_epochs=2)
+        init, update, _, _ = make_train(
+            cfg, HoverTask(act=ActionType.RPM), ppo_s)
+        rates = {}
+        for nd in (1, n_dev):
+            mesh = make_mesh(jax.devices()[:nd])
+            ts = shard_train_state(init(jax.random.key(0)), mesh)
+            su = make_sharded_update(update, mesh)
+            ts, m = su(ts)
+            float(m["mean_reward"])
+            t0 = time.perf_counter()
+            for _ in range(3):
+                ts, m = su(ts)
+                float(m["mean_reward"])
+            rates[nd] = 3 * ppo_s.batch_size / (time.perf_counter() - t0)
+        eff = rates[n_dev] / (rates[1] * n_dev)
+        results.append({"metric": f"mesh_scaling_efficiency_{n_dev}dev",
+                        "value": round(eff, 3), "unit": "fraction",
+                        "vs_baseline": round(rates[n_dev] / 1e7, 4)})
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,8 @@ def compute_control(params: DroneParams, state: PIDState, dt: float,
                     cur_vel: jnp.ndarray, target_pos: jnp.ndarray,
                     target_rpy: jnp.ndarray | None = None,
                     target_vel: jnp.ndarray | None = None,
-                    target_rpy_rates: jnp.ndarray | None = None):
+                    target_rpy_rates: jnp.ndarray | None = None,
+                    gains: dict | None = None):
     """One PID tick: state + setpoints -> (rpm, new_state, pos_e, yaw_e).
 
     All array arguments broadcast over leading batch dims.  `cur_ang_vel` of
@@ -86,6 +87,13 @@ def compute_control(params: DroneParams, state: PIDState, dt: float,
     if target_rpy_rates is None:
         target_rpy_rates = jnp.zeros_like(cur_pos)
 
+    gains = gains or {}
+    g_or = lambda key, default: default if gains.get(key) is None \
+        else tuple(gains[key])
+    p_for, i_for, d_for = (g_or("p_for", P_FOR), g_or("i_for", I_FOR),
+                           g_or("d_for", D_FOR))
+    p_tor, i_tor, d_tor = (g_or("p_tor", P_TOR), g_or("i_tor", I_TOR),
+                           g_or("d_tor", D_TOR))
     gravity = G * params.m  # reference BaseControl.py:36-41 (URDF mass)
     cur_rotation = quat_ops.quat_to_mat(cur_quat)              # (..., 3, 3)
 
@@ -96,9 +104,9 @@ def compute_control(params: DroneParams, state: PIDState, dt: float,
     integral_pos_e = jnp.clip(integral_pos_e, -2.0, 2.0)
     integral_pos_e = integral_pos_e.at[..., 2].set(
         jnp.clip(integral_pos_e[..., 2], -0.15, 0.15))
-    target_thrust = (jnp.asarray(P_FOR, dtype) * pos_e
-                     + jnp.asarray(I_FOR, dtype) * integral_pos_e
-                     + jnp.asarray(D_FOR, dtype) * vel_e)
+    target_thrust = (jnp.asarray(p_for, dtype) * pos_e
+                     + jnp.asarray(i_for, dtype) * integral_pos_e
+                     + jnp.asarray(d_for, dtype) * vel_e)
     target_thrust = target_thrust.at[..., 2].add(gravity)
     scalar_thrust = jnp.maximum(
         0.0, jnp.sum(target_thrust * cur_rotation[..., :, 2], axis=-1))
@@ -133,9 +141,9 @@ def compute_control(params: DroneParams, state: PIDState, dt: float,
     integral_rpy_e = jnp.clip(integral_rpy_e, -1500.0, 1500.0)
     integral_rpy_e = integral_rpy_e.at[..., :2].set(
         jnp.clip(integral_rpy_e[..., :2], -1.0, 1.0))
-    target_torques = (-jnp.asarray(P_TOR, dtype) * rot_e
-                      + jnp.asarray(D_TOR, dtype) * rpy_rates_e
-                      + jnp.asarray(I_TOR, dtype) * integral_rpy_e)
+    target_torques = (-jnp.asarray(p_tor, dtype) * rot_e
+                      + jnp.asarray(d_tor, dtype) * rpy_rates_e
+                      + jnp.asarray(i_tor, dtype) * integral_rpy_e)
     target_torques = jnp.clip(target_torques, -3200.0, 3200.0)
     mixer = jnp.asarray(
         MIXER_CF2P if params.model == DroneModel.CF2P else MIXER_CF2X, dtype)
@@ -198,11 +206,30 @@ class DSLPIDControl:
         self.params = get_params(drone_model)
         self.dtype = dtype
         self.control_counter = 0
+        self._gains = {}
         self.reset()
 
     def reset(self):
         self.control_counter = 0
         self.state = init_state((), self.dtype)
+
+    def setPIDCoefficients(self, p_coeff_pos=None, i_coeff_pos=None,
+                           d_coeff_pos=None, p_coeff_att=None,
+                           i_coeff_att=None, d_coeff_att=None):
+        """Override gains (reference BaseControl.setPIDCoefficients:138-177).
+
+        Sets instance-level gain overrides consumed by computeControl via
+        the functional core's gain arguments.
+        """
+        import numpy as np
+        self._gains = {
+            "p_for": None if p_coeff_pos is None else np.asarray(p_coeff_pos),
+            "i_for": None if i_coeff_pos is None else np.asarray(i_coeff_pos),
+            "d_for": None if d_coeff_pos is None else np.asarray(d_coeff_pos),
+            "p_tor": None if p_coeff_att is None else np.asarray(p_coeff_att),
+            "i_tor": None if i_coeff_att is None else np.asarray(i_coeff_att),
+            "d_tor": None if d_coeff_att is None else np.asarray(d_coeff_att),
+        }
 
     def computeControl(self, control_timestep, cur_pos, cur_quat, cur_vel,
                        cur_ang_vel=None, target_pos=None,
@@ -214,7 +241,7 @@ class DSLPIDControl:
             self.params, self.state, float(control_timestep),
             as_arr(cur_pos), as_arr(cur_quat), as_arr(cur_vel),
             as_arr(target_pos), as_arr(target_rpy), as_arr(target_vel),
-            as_arr(target_rpy_rates))
+            as_arr(target_rpy_rates), gains=self._gains)
         return rpm, pos_e, yaw_e
 
     def computeControlFromState(self, control_timestep, state, target_pos,

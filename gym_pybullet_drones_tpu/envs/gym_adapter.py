@@ -160,6 +160,15 @@ class FunctionalAviary(gym.Env):
         pass
 
     # -- extras mirroring reference helpers -----------------------------
+    def getPyBulletClient(self):
+        """Reference-API stub: there is no PyBullet client (engine is JAX);
+        returns None so drop-in scripts keep working."""
+        return None
+
+    def getDroneIds(self) -> np.ndarray:
+        """Drone indices 0..N-1 (reference BaseAviary.getDroneIds)."""
+        return np.arange(self.cfg.num_drones)
+
     def getDroneStateVector(self, nth_drone: int) -> np.ndarray:
         return np.asarray(core.state_vector(self.state))[nth_drone]
 

@@ -87,9 +87,12 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     act_dim = n_drones * act_dim_per_drone
     network = ActorCritic(action_dim=act_dim)
 
+    # throughput path: Pallas-fused physics for DYN configs, vmapped core
+    # otherwise (envs/fast.py falls back transparently)
+    from gym_pybullet_drones_tpu.envs.fast import make_batched_step
+    _reset_fn, batched_step = make_batched_step(
+        env_cfg, task, ppo.num_envs, autoreset=True)
     batched_reset = jax.vmap(lambda _: core.reset(env_cfg, task, dtype=dtype))
-    batched_step = jax.vmap(
-        lambda s, a: core.step_autoreset(env_cfg, task, s, a, dtype=dtype))
 
     tx = optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
