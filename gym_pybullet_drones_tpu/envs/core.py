@@ -74,6 +74,10 @@ class AviaryConfig:
     # initial poses as nested tuples (hashable); None -> reference default grid
     init_xyzs: tuple | None = None
     init_rpys: tuple | None = None
+    # static spherical obstacles ((x, y, z, radius), ...): collision in the
+    # PYB-family modes (the reference's obstacle bodies, BaseAviary:955-978,
+    # approximated by bounding spheres)
+    obstacles: tuple = ()
 
     def __post_init__(self):
         if self.pyb_freq % self.ctrl_freq != 0:
@@ -192,7 +196,8 @@ def _apply_physics_substep(cfg: AviaryConfig, state: EnvState,
 
     pyb = PybState(pos=state.pos, quat=state.quat, vel=state.vel,
                    ang_v=state.ang_v)
-    out = pyb_step(d, pyb, rpm, dt, ext_force=ext_f, ext_torque=ext_t)
+    out = pyb_step(d, pyb, rpm, dt, ext_force=ext_f, ext_torque=ext_t,
+                   obstacles=cfg.obstacles)
     return state._replace(pos=out.pos, quat=out.quat, vel=out.vel,
                           ang_v=out.ang_v, last_rpm=rpm)
 

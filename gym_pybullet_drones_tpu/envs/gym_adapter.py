@@ -210,15 +210,25 @@ class FunctionalAviary(gym.Env):
         return np.asarray(core.adjacency_matrix(self.cfg, self.state))
 
 
+# The reference's obstacle bodies (BaseAviary._addObstacles:955-978:
+# duck/cube/sphere around the origin) approximated as bounding spheres.
+OBSTACLE_SPHERES = (
+    (-0.5, -0.5, 0.05, 0.1),   # duck
+    (-0.5, -2.5, 0.5, 0.5),    # cube
+    (0.0, 2.0, 0.5, 0.5),      # sphere
+)
+
+
 def _make_cfg(drone_model, num_drones, neighbourhood_radius, initial_xyzs,
-              initial_rpys, physics, pyb_freq, ctrl_freq):
+              initial_rpys, physics, pyb_freq, ctrl_freq, obstacles=False):
     to_tuple = lambda a: None if a is None else tuple(
         tuple(float(v) for v in row) for row in np.asarray(a))
     return core.AviaryConfig(
         drone=get_params(drone_model), num_drones=num_drones,
         physics=Physics(physics), pyb_freq=pyb_freq, ctrl_freq=ctrl_freq,
         neighbourhood_radius=float(neighbourhood_radius),
-        init_xyzs=to_tuple(initial_xyzs), init_rpys=to_tuple(initial_rpys))
+        init_xyzs=to_tuple(initial_xyzs), init_rpys=to_tuple(initial_rpys),
+        obstacles=OBSTACLE_SPHERES if obstacles else ())
 
 
 class CtrlAviary(FunctionalAviary):
@@ -231,7 +241,7 @@ class CtrlAviary(FunctionalAviary):
                  user_debug_gui=True, output_folder="results", **kw):
         cfg = _make_cfg(drone_model, num_drones, neighbourhood_radius,
                         initial_xyzs, initial_rpys, physics, pyb_freq,
-                        ctrl_freq)
+                        ctrl_freq, obstacles=obstacles)
         super().__init__(cfg, tasks.CtrlTask(), record=record,
                          output_folder=output_folder)
 
@@ -246,7 +256,7 @@ class VelocityAviary(FunctionalAviary):
                  user_debug_gui=True, output_folder="results", **kw):
         cfg = _make_cfg(drone_model, num_drones, neighbourhood_radius,
                         initial_xyzs, initial_rpys, physics, pyb_freq,
-                        ctrl_freq)
+                        ctrl_freq, obstacles=obstacles)
         super().__init__(cfg, tasks.VelocityTask(), record=record,
                          output_folder=output_folder)
 

@@ -47,7 +47,8 @@ class PybState(NamedTuple):
 def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
              dt: float,
              ext_force: jnp.ndarray | None = None,
-             ext_torque: jnp.ndarray | None = None) -> PybState:
+             ext_torque: jnp.ndarray | None = None,
+             obstacles: tuple = ()) -> PybState:
     """One physics substep of the Bullet-like integrator.
 
     ext_force / ext_torque are additional world-frame force/torque about the
@@ -123,4 +124,18 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
         axis=-1)
     ang_v = jnp.where(in_contact[..., None],
                       ang_v * jnp.asarray(tangential_scale)[..., None], ang_v)
+
+    # --- Static spherical obstacles (approximate, inelastic pushout) ---
+    if obstacles:
+        body_r = params.collision_r
+        for ox, oy, oz, orad in obstacles:
+            center = jnp.asarray([ox, oy, oz], dtype)
+            delta = pos - center
+            dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+            min_d = orad + body_r
+            hit = dist < min_d
+            n_hat = delta / jnp.maximum(dist, 1e-6)
+            pos = jnp.where(hit, center + n_hat * min_d, pos)
+            vn = jnp.sum(vel * n_hat, axis=-1, keepdims=True)
+            vel = jnp.where(hit & (vn < 0), vel - vn * n_hat, vel)
     return PybState(pos=pos, quat=quat, vel=vel, ang_v=ang_v)

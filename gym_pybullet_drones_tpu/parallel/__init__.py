@@ -4,3 +4,7 @@ from gym_pybullet_drones_tpu.parallel.mesh import (  # noqa: F401
     make_sharded_update,
     shard_train_state,
 )
+from gym_pybullet_drones_tpu.parallel.distributed import (  # noqa: F401
+    global_env_batch,
+    initialize,
+)

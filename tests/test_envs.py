@@ -186,3 +186,22 @@ def test_gym_registration():
     env = gym.make("hover-aviary-v0", physics=Physics.DYN)
     obs, info = env.reset()
     assert obs.shape == (1, 72)
+
+
+def test_pyb_obstacle_collision():
+    """A drone flying into a static obstacle sphere is stopped at contact."""
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                       pyb_freq=240, ctrl_freq=240,
+                       init_xyzs=((0.0, 1.4, 0.5),),
+                       obstacles=((0.0, 2.0, 0.5, 0.5),))
+    task = CtrlTask()
+    st, obs, _ = reset(cfg, task)
+    st = st._replace(vel=st.vel.at[0, 1].set(2.0))  # fly toward obstacle
+    rpm = jnp.full((1, 4), P.CF2X.hover_rpm)
+    stepper = jax.jit(lambda s: step(cfg, task, s, rpm)[0])
+    for _ in range(240):
+        st = stepper(st)
+    # stopped outside the obstacle's surface (0.5 + collision_r margin)
+    dist = float(jnp.linalg.norm(st.pos[0] - jnp.asarray([0.0, 2.0, 0.5])))
+    assert dist > 0.5
+    assert float(st.pos[0, 1]) < 2.0
