@@ -75,6 +75,13 @@ class CFAviary(FunctionalAviary):
         self._mellinger = jax.jit(
             lambda st, sp, pos, vel, quat, gyro: fw.mellinger_control(
                 st, sp, pos, vel, quat, gyro, self.firmware_dt))
+        # 'pid' controller option: the firmware PID cascade is the ancestor
+        # of the DSL PID (reference CFAviary CONTROLLER='pid' path,
+        # :157-159,401-408); here it maps onto the batched DSL PID running
+        # at the firmware attitude rate.
+        from gym_pybullet_drones_tpu.control import dsl_pid as _dsl
+        self._dsl = _dsl
+        self._pid_state = _dsl.init_state((), jnp.float32)
         self._reset_firmware()
 
     # ------------------------------------------------------------------
@@ -173,13 +180,25 @@ class CFAviary(FunctionalAviary):
                 self.tick += 1
                 continue
 
-            control, self.fw_state = self._mellinger(
-                self.fw_state, self._setpoint,
-                jnp.asarray(cur_pos, jnp.float32),
-                jnp.asarray(cur_vel, jnp.float32),
-                jnp.asarray(cur_quat, jnp.float32), gyro_f)
-            self.pwms = np.asarray(
-                fw.power_distribution(control, self.QUAD_FORMATION_X))
+            if self.CONTROLLER == "pid":
+                rpm_cmd, self._pid_state, _, _ = self._dsl.compute_control(
+                    self.cfg.drone, self._pid_state, self.firmware_dt,
+                    jnp.asarray(cur_pos, jnp.float32),
+                    jnp.asarray(cur_quat, jnp.float32),
+                    jnp.asarray(cur_vel, jnp.float32),
+                    target_pos=self._setpoint.position,
+                    target_vel=self._setpoint.velocity)
+                self.pwms = np.clip(
+                    (np.asarray(rpm_cmd) - self.PWM2RPM_CONST)
+                    / self.PWM2RPM_SCALE, 0, self.MAX_PWM)
+            else:
+                control, self.fw_state = self._mellinger(
+                    self.fw_state, self._setpoint,
+                    jnp.asarray(cur_pos, jnp.float32),
+                    jnp.asarray(cur_vel, jnp.float32),
+                    jnp.asarray(cur_quat, jnp.float32), gyro_f)
+                self.pwms = np.asarray(
+                    fw.power_distribution(control, self.QUAD_FORMATION_X))
             rpm = self.PWM2RPM_SCALE * np.clip(
                 self.pwms, self.MIN_PWM, self.MAX_PWM) + self.PWM2RPM_CONST
             self.action = rpm[None, :]

@@ -166,25 +166,28 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
         _, _, last_value = network.apply(ts.params, last_obs)
         advantages, returns = _gae(traj, last_value)
 
-        # ---- flatten (T, E, ...) -> (T*E, ...) ----
-        flat = jax.tree.map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), traj)
-        adv_f = advantages.reshape(-1)
-        ret_f = returns.reshape(-1)
+        # ---- minibatching over the TIME axis ----
+        # Minibatches are random subsets of rollout timesteps (all envs per
+        # minibatch).  The env axis is the data-parallel shard axis at pod
+        # scale: permuting the flattened (T*E) batch would gather the whole
+        # rollout across devices every epoch, while time-axis permutation is
+        # over a replicated axis and costs no communication — the only
+        # cross-shard traffic per minibatch is the gradient all-reduce.
+        mb_t = max(1, ppo.rollout_steps // ppo.num_minibatches)
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            perm = jax.random.permutation(sub, adv_f.shape[0])
-            mb_size = adv_f.shape[0] // ppo.num_minibatches
+            perm = jax.random.permutation(sub, ppo.rollout_steps)
 
             def minibatch(carry, idx):
                 params, opt_state = carry
-                take = jax.lax.dynamic_slice_in_dim(
-                    perm, idx * mb_size, mb_size)
-                mb = jax.tree.map(lambda x: x[take], flat)
+                take = jax.lax.dynamic_slice_in_dim(perm, idx * mb_t, mb_t)
+                mb = jax.tree.map(
+                    lambda x: x[take].reshape((-1,) + x.shape[2:]), traj)
                 grads, aux = jax.grad(_loss, has_aux=True)(
-                    params, mb, adv_f[take], ret_f[take])
+                    params, mb, advantages[take].reshape(-1),
+                    returns[take].reshape(-1))
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux

@@ -111,3 +111,21 @@ def test_ctbr2beta_channels():
     assert r == 1500 and p == 1500 and y == 1500
     thro, r, p, y = BetaAviary.ctbr2beta(0.0, np.pi, 0.0, 0.0)
     assert abs(r - 1750) < 1  # 180 deg/s = MAX_RATE/2 above mid channel
+
+
+def test_cf_aviary_pid_controller_variant():
+    """CONTROLLER='pid' subclass flies a hover via the DSL-PID cascade."""
+    import numpy as np
+    from gym_pybullet_drones_tpu.envs.cf_aviary import CFAviary
+
+    class CFPid(CFAviary):
+        CONTROLLER = "pid"
+
+    env = CFPid(initial_xyzs=np.array([[0, 0, 0.5]]), physics=Physics.PYB,
+                pyb_freq=1000, ctrl_freq=25)
+    env.sendFullStateCmd([0, 0, 0.8], np.zeros(3), np.zeros(3), 0.0,
+                         np.zeros(3), 0)
+    obs = None
+    for i in range(50):  # 2 s
+        obs, *_ = env.step(i)
+    assert abs(float(obs[0][2]) - 0.8) < 0.15
