@@ -79,3 +79,47 @@ def test_cpp_trajectory_output():
                              return_traj=True)
     assert out["traj"].shape == (10, 1, 3)
     np.testing.assert_allclose(out["traj"][:, 0, 2], 1.0, atol=1e-12)
+
+
+def test_sitl_bridge_loopback():
+    """C++ bridge: packets arrive with the exact reference wire format."""
+    import socket
+    import struct
+    from gym_pybullet_drones_tpu import native
+
+    idx = 7  # ports 9072-9074, clear of anything else
+    # emulate the SITL side: listen on STATE and RC, send PWM
+    state_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    state_sock.bind(("127.0.0.1", 9003 + 10 * idx))
+    state_sock.settimeout(2.0)
+    rc_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rc_sock.bind(("127.0.0.1", 9004 + 10 * idx))
+    rc_sock.settimeout(2.0)
+
+    bridge = native.SitlBridge(index=idx)
+    rc = np.array([1500, 1500, 1000, 1500] + [1000] * 12, np.uint16)
+    fresh, pwm = bridge.tick(0.25, [0.1, -0.2, 0.3], rc)
+    assert not fresh  # nothing sent back yet
+
+    data, _ = state_sock.recvfrom(1024)
+    fdm = struct.unpack("@dddddddddddddddddd", data)
+    assert fdm[0] == 0.25
+    np.testing.assert_allclose(fdm[1:4], [0.1, 0.2, -0.3])  # ENU->NED flips
+    assert fdm[7] == 1.0 and fdm[17] == 1.0
+
+    data, _ = rc_sock.recvfrom(1024)
+    vals = struct.unpack("@dHHHHHHHHHHHHHHHH", data)
+    assert vals[0] == 0.25
+    assert vals[1:5] == (1500, 1500, 1000, 1500)
+
+    # send PWMs back; next tick should pick them up
+    pwm_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    pwm_sock.sendto(struct.pack("@ffff", 0.1, 0.2, 0.3, 0.4),
+                    ("127.0.0.1", 9002 + 10 * idx))
+    import time
+    time.sleep(0.05)
+    fresh, pwm = bridge.tick(0.3, [0, 0, 0], rc)
+    assert fresh
+    np.testing.assert_allclose(pwm, [0.1, 0.2, 0.3, 0.4], rtol=1e-6)
+    bridge.close()
+    state_sock.close(); rc_sock.close(); pwm_sock.close()
