@@ -62,7 +62,7 @@ class BetaAviary(FunctionalAviary):
                  ctrl_freq=240, gui=False, record=False, obstacles=False,
                  user_debug_gui=True, output_folder="results",
                  udp_ip="127.0.0.1", spawn_sitl=False,
-                 sitl_path=None):
+                 sitl_path=None, use_native_bridge=False):
         cfg = _make_cfg(drone_model, num_drones, neighbourhood_radius,
                         initial_xyzs, initial_rpys, physics, pyb_freq,
                         ctrl_freq)
@@ -82,13 +82,21 @@ class BetaAviary(FunctionalAviary):
         self.TRAJ_TIME = 1.5
         self.sock = []
         self.sock_pwm = []
-        for i in range(num_drones):
-            self.sock.append(socket.socket(socket.AF_INET,
-                                           socket.SOCK_DGRAM))
-            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            s.bind((self.UDP_IP, BASE_PORT_PWM + 10 * i))
-            s.settimeout(0.0)
-            self.sock_pwm.append(s)
+        self._native = None
+        if use_native_bridge:
+            # C++ shim: one C call per tick instead of three Python socket
+            # operations (native/sitl_bridge.cpp)
+            from gym_pybullet_drones_tpu import native
+            self._native = [native.SitlBridge(udp_ip, i)
+                            for i in range(num_drones)]
+        else:
+            for i in range(num_drones):
+                self.sock.append(socket.socket(socket.AF_INET,
+                                               socket.SOCK_DGRAM))
+                s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                s.bind((self.UDP_IP, BASE_PORT_PWM + 10 * i))
+                s.settimeout(0.0)
+                self.sock_pwm.append(s)
         self.beta_action = np.zeros((num_drones, 4))
 
     def step(self, action, i):  # noqa: A003 (reference signature)
@@ -105,6 +113,20 @@ class BetaAviary(FunctionalAviary):
             w_body = np.asarray(quat_ops.rotate_vector(
                 jnp.asarray(w_world),
                 quat_ops.quat_conj(jnp.asarray(q_xyzw))))
+
+            if self._native is not None:
+                thro, roll, pitch, yaw = 1000, 1500, 1500, 1500
+                if t > self.TRAJ_TIME:
+                    thro, roll, pitch, yaw = self.ctbr2beta(
+                        *np.asarray(action[j, :]))
+                aux1 = 1000 if t < self.ARM_TIME else 1500
+                rc = np.array(
+                    [round(roll), round(pitch), round(thro), round(yaw),
+                     aux1] + [1000] * 11, np.uint16)
+                fresh, pwm = self._native[j].tick(t, w_body, rc)
+                if fresh:
+                    self.beta_action[j, :] = pwm
+                continue
 
             fdm_packet = struct.pack(
                 "@dddddddddddddddddd",
@@ -167,4 +189,6 @@ class BetaAviary(FunctionalAviary):
                 s.close()
             except OSError:
                 pass
+        for b in (self._native or []):
+            b.close()
         super().close()

@@ -129,3 +129,27 @@ def test_cf_aviary_pid_controller_variant():
     for i in range(50):  # 2 s
         obs, *_ = env.step(i)
     assert abs(float(obs[0][2]) - 0.8) < 0.15
+
+
+def test_beta_aviary_native_bridge():
+    """Native-bridge BetaAviary sends the same wire format as the Python path."""
+    import socket
+    import struct
+    from gym_pybullet_drones_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("no g++")
+    from gym_pybullet_drones_tpu.envs.beta_aviary import BetaAviary
+
+    listener = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    listener.bind(("127.0.0.1", 9003))  # drone 0 FDM port
+    listener.settimeout(2.0)
+    env = BetaAviary(num_drones=1, physics=Physics.PYB, pyb_freq=240,
+                     ctrl_freq=48, use_native_bridge=True)
+    env.reset()
+    env.step(np.zeros((1, 4)), 0)
+    data, _ = listener.recvfrom(1024)
+    fdm = struct.unpack("@dddddddddddddddddd", data)
+    assert fdm[0] == 0.0 and fdm[17] == 1.0
+    env.close()
+    listener.close()
