@@ -73,7 +73,7 @@ def compute_control(params: DroneParams, state: PIDState, dt: float,
                     target_rpy: jnp.ndarray | None = None,
                     target_vel: jnp.ndarray | None = None,
                     target_rpy_rates: jnp.ndarray | None = None,
-                    gains: dict | None = None):
+                    gains: dict | None = None, g: float = G):
     """One PID tick: state + setpoints -> (rpm, new_state, pos_e, yaw_e).
 
     All array arguments broadcast over leading batch dims.  `cur_ang_vel` of
@@ -94,7 +94,7 @@ def compute_control(params: DroneParams, state: PIDState, dt: float,
                            g_or("d_for", D_FOR))
     p_tor, i_tor, d_tor = (g_or("p_tor", P_TOR), g_or("i_tor", I_TOR),
                            g_or("d_tor", D_TOR))
-    gravity = G * params.m  # reference BaseControl.py:36-41 (URDF mass)
+    gravity = g * params.m  # reference BaseControl.py:36-41 (g * URDF mass)
     cur_rotation = quat_ops.quat_to_mat(cur_quat)              # (..., 3, 3)
 
     # ---- Position loop (reference :149-208) ----
@@ -204,6 +204,7 @@ class DSLPIDControl:
             raise ValueError(
                 "DSLPIDControl requires DroneModel.CF2X or DroneModel.CF2P")
         self.params = get_params(drone_model)
+        self.g = float(g)
         self.dtype = dtype
         self.control_counter = 0
         self._gains = {}
@@ -241,7 +242,7 @@ class DSLPIDControl:
             self.params, self.state, float(control_timestep),
             as_arr(cur_pos), as_arr(cur_quat), as_arr(cur_vel),
             as_arr(target_pos), as_arr(target_rpy), as_arr(target_vel),
-            as_arr(target_rpy_rates), gains=self._gains)
+            as_arr(target_rpy_rates), gains=self._gains, g=self.g)
         return rpm, pos_e, yaw_e
 
     def computeControlFromState(self, control_timestep, state, target_pos,

@@ -22,7 +22,8 @@ from gym_pybullet_drones_tpu.ops.dynamics import DynState
 
 
 def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
-                      use_pallas: bool = True, autoreset: bool = True):
+                      use_pallas: bool = True, autoreset: bool = True,
+                      dtype=jnp.float32):
     """Build step_fn(state_B, action_B) over batched EnvState leaves (B, ...).
 
     Returns (reset_fn, step_fn); step_fn -> (state, obs, reward, term,
@@ -31,7 +32,7 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     n = cfg.num_drones
     pallas_ok = use_pallas and cfg.physics == Physics.DYN
 
-    batched_reset = jax.vmap(lambda _: core.reset(cfg, task))
+    batched_reset = jax.vmap(lambda _: core.reset(cfg, task, dtype=dtype))
 
     def reset_fn():
         state, obs, _ = batched_reset(jnp.zeros(num_envs))
@@ -68,7 +69,7 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                                task.compute_terminated(cfg, s),
                                task.compute_truncated(cfg, s)))
 
-    init_state, init_obs, _ = core.reset(cfg, task)
+    init_state, init_obs, _ = core.reset(cfg, task, dtype=dtype)
 
     def step_fn(state, action):
         action = jnp.asarray(action, state.pos.dtype)

@@ -80,6 +80,9 @@ class FunctionalAviary(gym.Env):
         n = self.cfg.num_drones
         if isinstance(self.task, tasks.RLTask) and \
                 self.task.obs == ObservationType.RGB:
+            # Reference quirk preserved: the space is declared uint8
+            # (BaseRLAviary.py:252-255) while _computeObs returns float32
+            # values in [0, 255] (:306); we mirror both sides.
             return spaces.Box(low=0, high=255, shape=(n, 48, 64, 4),
                               dtype=np.uint8)
         if isinstance(self.task, tasks.RLTask):

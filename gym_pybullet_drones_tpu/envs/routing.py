@@ -30,7 +30,8 @@ class RoutingTask(RLTask):
 
     destinations: ((x, y, z), ...) per drone (tuple -> hashable/static).
     Action (PID type): a target position per drone, advanced at most
-    `step_size` per control step toward it (reference waypoint semantics).
+    `step_size` per control step toward it (the inherited PID branch applies
+    the waypoint clamp using this task's step_size field).
     Reward: progress toward goal, arrival bonus, separation penalty within
     `collision_radius`.
     """
@@ -62,11 +63,6 @@ class RoutingTask(RLTask):
         nn_vec = jnp.take_along_axis(
             diff, nearest[:, None, None].repeat(3, -1), axis=1)[:, 0, :]
         return jnp.concatenate([base, goal_vec, nn_vec], axis=-1)
-
-    def preprocess_action(self, cfg, state: EnvState, action):
-        # clamp commanded targets to a unit waypoint step (reference rule)
-        clipped = next_waypoint(state.pos, action, self.step_size)
-        return super().preprocess_action(cfg, state, clipped)
 
     def compute_reward(self, cfg, state):
         d = jnp.linalg.norm(self._dest(state) - state.pos, axis=-1)  # (N,)

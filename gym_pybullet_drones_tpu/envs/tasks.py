@@ -138,7 +138,10 @@ class RLTask:
             rpm = jnp.repeat(hover * (1 + 0.05 * action), 4, axis=-1)
             return rpm, state
         if self.act == ActionType.PID:
-            next_pos = next_waypoint(state.pos, action, step_size=1.0)
+            # waypoint step size: RoutingTask overrides via its step_size
+            # field; the reference uses 1.0 (BaseRLAviary.py:195-199)
+            step = getattr(self, "step_size", 1.0)
+            next_pos = next_waypoint(state.pos, action, step_size=step)
             return _embedded_pid(cfg, state, target_pos=next_pos)
         if self.act == ActionType.VEL:
             v = action[..., 0:3]
@@ -148,8 +151,8 @@ class RLTask:
             yaw = quat_ops.quat_to_rpy(state.quat)[..., 2]
             target_rpy = jnp.stack(
                 [jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], axis=-1)
-            speed_limit = 0.03 * cfg.drone.max_speed_kmh * (1000 / 3600)
-            target_vel = speed_limit * jnp.abs(action[..., 3:4]) * v_unit
+            target_vel = (cfg.drone.speed_limit
+                          * jnp.abs(action[..., 3:4]) * v_unit)
             return _embedded_pid(cfg, state, target_pos=state.pos,
                                  target_rpy=target_rpy,
                                  target_vel=target_vel)

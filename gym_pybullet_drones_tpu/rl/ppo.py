@@ -42,6 +42,12 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     anneal_lr: bool = False
 
+    def __post_init__(self):
+        if self.rollout_steps % self.num_minibatches != 0:
+            raise ValueError(
+                "rollout_steps must be divisible by num_minibatches "
+                f"(got {self.rollout_steps} / {self.num_minibatches})")
+
     @property
     def batch_size(self) -> int:
         return self.num_envs * self.rollout_steps
@@ -91,12 +97,18 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     # otherwise (envs/fast.py falls back transparently)
     from gym_pybullet_drones_tpu.envs.fast import make_batched_step
     _reset_fn, batched_step = make_batched_step(
-        env_cfg, task, ppo.num_envs, autoreset=True)
+        env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype)
     batched_reset = jax.vmap(lambda _: core.reset(env_cfg, task, dtype=dtype))
 
+    if ppo.anneal_lr:
+        total_opt_steps = (ppo.num_updates * ppo.update_epochs
+                          * ppo.num_minibatches)
+        lr = optax.linear_schedule(ppo.lr, 0.0, total_opt_steps)
+    else:
+        lr = ppo.lr
     tx = optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
-        optax.adam(ppo.lr, eps=1e-5),
+        optax.adam(lr, eps=1e-5),
     )
 
     def init(key: jax.Array) -> TrainState:
@@ -130,17 +142,19 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
         return (env_state, _flat_obs(next_obs), params, key), t
 
     def _gae(traj: Transition, last_value):
+        # done[t] marks that the state AFTER step t is a reset state, so the
+        # bootstrap V(s_{t+1}) and the recursive GAE term are both masked by
+        # (1 - done[t]) of the CURRENT transition.
         def body(carry, t):
-            gae, next_value, next_nonterminal = carry
-            delta = (t.reward + ppo.gamma * next_value * next_nonterminal
+            gae, next_value = carry
+            nonterminal = 1.0 - t.done
+            delta = (t.reward + ppo.gamma * next_value * nonterminal
                      - t.value)
-            gae = (delta + ppo.gamma * ppo.gae_lambda * next_nonterminal
-                   * gae)
-            return (gae, t.value, 1.0 - t.done), gae
+            gae = delta + ppo.gamma * ppo.gae_lambda * nonterminal * gae
+            return (gae, t.value), gae
 
-        (_, _, _), advantages = jax.lax.scan(
-            body, (jnp.zeros_like(last_value), last_value,
-                   jnp.ones_like(last_value)),
+        (_, _), advantages = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value),
             traj, reverse=True)
         return advantages, advantages + traj.value
 
