@@ -78,3 +78,24 @@ def test_fast_batched_step_matches_core():
     np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r3), rtol=1e-4)
+
+
+def test_fast_batched_step_multidrone():
+    """Fast path with num_drones=2 (flattened env*drone pallas batch)."""
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=2, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    from gym_pybullet_drones_tpu.envs import MultiHoverTask
+    task = MultiHoverTask(act=ActionType.RPM)
+    B = 3
+    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    state, obs = reset_fn()
+    a = jnp.asarray(0.03 * np.random.default_rng(1).normal(size=(B, 2, 4)),
+                    jnp.float32)
+    s2, obs2, r2, te2, tr2 = jax.jit(step_fn)(state, a)
+
+    from gym_pybullet_drones_tpu.envs import core
+    vstep = jax.vmap(lambda s, a: core.step_autoreset(cfg, task, s, a))
+    s3, obs3, r3, *_ = vstep(state, a)
+    np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r3), rtol=1e-4)

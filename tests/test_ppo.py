@@ -76,3 +76,18 @@ def test_sharded_update_on_cpu_mesh():
     # env state stays sharded across devices
     leaf = ts2.env_state.pos
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_ppo_rgb_observations_update():
+    """PPO runs on ray-traced RGB observations (flattened through the MLP)."""
+    from gym_pybullet_drones_tpu.utils.enums import ObservationType
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    task = HoverTask(act=ActionType.RPM, obs=ObservationType.RGB)
+    ppo = PPOConfig(num_envs=2, rollout_steps=4, num_minibatches=2,
+                    update_epochs=1)
+    init, update, _, _ = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(0))
+    assert ts.last_obs.shape == (2, 48 * 64 * 4)
+    ts2, metrics = jax.jit(update)(ts)
+    assert np.isfinite(float(metrics["mean_reward"]))
