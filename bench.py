@@ -9,9 +9,10 @@ reported against the BASELINE.json north-star aggregate target of
 Timing is honest wall-clock: every timed iteration ends with a host
 readback of a reduction over the rollout's rewards, so asynchronous
 dispatch (including remote-TPU tunnels) cannot overlap timed work.  The
-hot path is the Pallas-fused DYN control step (ops/pallas_dyn.py) under
-the Hover task logic (envs/fast.py); one jitted lax.scan advances all
-envs CHUNK control steps per call.
+chunk size adapts to the measured speed so the benchmark completes quickly
+even when the device link is degraded, while still amortizing per-call
+overhead on a healthy chip.  The hot path is the Pallas-fused DYN control
+step (ops/pallas_dyn.py) under the Hover task logic (envs/fast.py).
 """
 from __future__ import annotations
 
@@ -27,8 +28,7 @@ from gym_pybullet_drones_tpu.envs.fast import make_batched_step
 from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
 
 NUM_ENVS = 4096
-CHUNK = 2048         # ctrl steps per timed scan call
-REPEATS = 4
+TIME_BUDGET_S = 60.0  # total measurement budget after compile
 
 
 def main():
@@ -43,25 +43,35 @@ def main():
         state, obs, r, te, tr = step_fn(state, action)
         return state, r
 
-    @jax.jit
-    def rollout(state, actions):
-        return jax.lax.scan(one_step, state, actions)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def rollout(state, actions, n):
+        return jax.lax.scan(
+            lambda s, a: one_step(s, a), state, actions[:n])
 
     key = jax.random.key(0)
-    actions = 0.1 * jax.random.normal(
-        key, (CHUNK, NUM_ENVS, 1, 4), jnp.float32)
+    base_actions = 0.1 * jax.random.normal(
+        key, (2048, NUM_ENVS, 1, 4), jnp.float32)
 
-    # warmup / compile
-    state, rew = rollout(state, actions)
+    # warmup / compile at the small chunk
+    chunk = 128
+    state, rew = rollout(state, base_actions, chunk)
     float(jnp.sum(rew))
 
     best = 0.0
-    for _ in range(REPEATS):
+    t_start = time.perf_counter()
+    while time.perf_counter() - t_start < TIME_BUDGET_S:
         t0 = time.perf_counter()
-        state, rew = rollout(state, actions)
+        state, rew = rollout(state, base_actions, chunk)
         float(jnp.sum(rew))  # host readback: forces full completion
         dt = time.perf_counter() - t0
-        best = max(best, NUM_ENVS * CHUNK / dt)
+        best = max(best, NUM_ENVS * chunk / dt)
+        # healthy chip: grow the chunk to amortize per-call overhead
+        if dt < 5.0 and chunk < 2048:
+            chunk *= 4
+            state, rew = rollout(state, base_actions, chunk)  # recompile
+            float(jnp.sum(rew))
 
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_hover4096",

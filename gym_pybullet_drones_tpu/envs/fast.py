@@ -30,7 +30,10 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     trunc) with per-env leading axes.
     """
     n = cfg.num_drones
-    pallas_ok = use_pallas and cfg.physics == Physics.DYN
+    # the fused kernel is float32-only; other dtypes (e.g. the f64 parity
+    # path) fall back to the vmapped core kernels
+    pallas_ok = (use_pallas and cfg.physics == Physics.DYN
+                 and dtype == jnp.float32)
 
     batched_reset = jax.vmap(lambda _: core.reset(cfg, task, dtype=dtype))
 

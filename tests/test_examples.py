@@ -61,3 +61,10 @@ def test_logger_csv_and_npy(tmp_path):
     csv_dir = lg.save_as_csv("t")
     assert os.path.exists(os.path.join(csv_dir, "x0.csv"))
     assert os.path.exists(os.path.join(csv_dir, "pwm3-1.csv"))
+
+
+def test_learn_multiagent(tmp_path):
+    from examples.learn import run
+    best = run(gui=False, plot=False, output_folder=str(tmp_path),
+               local=False, num_envs=4, multiagent=True)
+    assert np.isfinite(best)
