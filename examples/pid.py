@@ -76,6 +76,9 @@ def run(drone=DEFAULT_DRONES, num_drones=DEFAULT_NUM_DRONES,
     logger = Logger(logging_freq_hz=control_freq_hz, num_drones=num_drones,
                     output_folder=output_folder, colab=colab)
 
+    if drone not in (DroneModel.CF2X, DroneModel.CF2P):
+        raise ValueError(
+            "DSL PID supports cf2x/cf2p only (reference pid.py:126-127)")
     params = get_params(drone)
     ctrl_state = dsl_pid.init_state((num_drones,), jnp.float32)
 
