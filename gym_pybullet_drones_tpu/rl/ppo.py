@@ -81,17 +81,25 @@ def _flat_obs(obs):
 
 
 def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
-               dtype=jnp.float32):
+               dtype=jnp.float32, network=None):
     """Build (init_fn, update_fn, rollout_eval_fn) for PPO on (cfg, task).
 
     update_fn is a pure jittable step: TrainState -> (TrainState, metrics);
     callers choose single-chip jit or a sharded pjit over an env-batch mesh
-    (parallel.make_sharded_update).
+    (parallel.make_sharded_update).  `network` overrides the policy module;
+    by default RGB observations get the NatureCNN actor-critic and KIN
+    observations the SB3-style MLP.
     """
     n_drones = env_cfg.num_drones
     act_dim_per_drone = task.action_dim(env_cfg)
     act_dim = n_drones * act_dim_per_drone
-    network = ActorCritic(action_dim=act_dim)
+    if network is None:
+        from gym_pybullet_drones_tpu.utils.enums import ObservationType
+        if getattr(task, "obs", None) == ObservationType.RGB:
+            from gym_pybullet_drones_tpu.models.cnn import ActorCriticCNN
+            network = ActorCriticCNN(action_dim=act_dim)
+        else:
+            network = ActorCritic(action_dim=act_dim)
 
     # throughput path: Pallas-fused physics for DYN configs, vmapped core
     # otherwise (envs/fast.py falls back transparently)

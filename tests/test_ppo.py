@@ -79,7 +79,7 @@ def test_sharded_update_on_cpu_mesh():
 
 
 def test_ppo_rgb_observations_update():
-    """PPO runs on ray-traced RGB observations (flattened through the MLP)."""
+    """PPO runs on ray-traced RGB observations (NatureCNN policy)."""
     from gym_pybullet_drones_tpu.utils.enums import ObservationType
     cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
                        pyb_freq=240, ctrl_freq=30)
