@@ -55,6 +55,8 @@ class EnvState(NamedTuple):
     action_buffer: jnp.ndarray  # (BUF, N, A) action history, oldest first
     ctrl_state: dsl_pid.PIDState  # embedded-PID carry (zeros when unused)
     step_counter: jnp.ndarray   # () int32, counts PYB substeps
+    rng: jnp.ndarray            # (2,) uint32 legacy PRNG key (randomized
+                                # resets; inert when tasks use no noise)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,13 +209,19 @@ def reset(cfg: AviaryConfig, task, key: jax.Array | None = None,
     """Initial (state, obs, info).
 
     Deterministic by default like the reference (its reset() ignores the
-    seed, BaseAviary.py:243); tasks may use `key` for randomized inits.
+    seed, BaseAviary.py:243).  Pass `key` (legacy uint32 PRNGKey) to enable
+    a task's `randomize_reset` hook (a superset feature — RLTask exposes
+    pos/rpy/vel noise fields); the carried per-env key also drives
+    randomized auto-resets inside jitted rollouts.
     """
     n = cfg.num_drones
     xyz = cfg.default_init_xyzs().astype(dtype)
     rpy = cfg.default_init_rpys().astype(dtype)
     quat = quat_ops.rpy_to_quat(rpy)
     buf_size, act_dim = task.action_buffer_shape(cfg)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key, sub = jax.random.split(key)
     state = EnvState(
         pos=xyz,
         quat=quat,
@@ -224,9 +232,10 @@ def reset(cfg: AviaryConfig, task, key: jax.Array | None = None,
         action_buffer=jnp.zeros((buf_size, n, act_dim), dtype),
         ctrl_state=dsl_pid.init_state((n,), dtype),
         step_counter=jnp.zeros((), jnp.int32),
+        rng=key,
     )
-    if key is not None and hasattr(task, "randomize_reset"):
-        state = task.randomize_reset(cfg, state, key)
+    if hasattr(task, "randomize_reset"):
+        state = task.randomize_reset(cfg, state, sub)
     obs = task.compute_obs(cfg, state)
     return state, obs, {}
 
@@ -271,8 +280,12 @@ def step_autoreset(cfg: AviaryConfig, task, state: EnvState,
     """
     next_state, obs, reward, term, trunc, info = step(cfg, task, state, action)
     done = jnp.logical_or(term, trunc)  # scalar for one env; vmap maps it
-    init_state, init_obs, _ = reset(cfg, task, dtype=dtype)
+    # re-reset with the env's carried key so randomized tasks re-randomize
+    init_state, init_obs, _ = reset(cfg, task, key=next_state.rng,
+                                    dtype=dtype)
     new_state = jax.tree.map(lambda i, n: jnp.where(done, i, n),
                              init_state, next_state)
+    # advance the carried rng either way so episodes stay decorrelated
+    new_state = new_state._replace(rng=init_state.rng)
     new_obs = jnp.where(done, init_obs, obs)
     return new_state, new_obs, reward, term, trunc, info

@@ -35,10 +35,12 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     pallas_ok = (use_pallas and cfg.physics == Physics.DYN
                  and dtype == jnp.float32)
 
-    batched_reset = jax.vmap(lambda _: core.reset(cfg, task, dtype=dtype))
+    batched_reset = jax.vmap(
+        lambda k: core.reset(cfg, task, key=k, dtype=dtype))
 
-    def reset_fn():
-        state, obs, _ = batched_reset(jnp.zeros(num_envs))
+    def reset_fn(seed: int = 0):
+        keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+        state, obs, _ = batched_reset(keys)
         return state, obs
 
     def _physics(state, rpm):
@@ -72,8 +74,6 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                                task.compute_terminated(cfg, s),
                                task.compute_truncated(cfg, s)))
 
-    init_state, init_obs, _ = core.reset(cfg, task, dtype=dtype)
-
     def step_fn(state, action):
         action = jnp.asarray(action, state.pos.dtype)
         rpm, state = pre(state, action)
@@ -84,13 +84,17 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         if not autoreset:
             return state, obs, reward, term, trunc
         done = jnp.logical_or(term, trunc)
+        # per-env re-reset from each env's carried rng (randomized tasks
+        # re-randomize; deterministic tasks reproduce the fixed init)
+        init_state, init_obs, _ = batched_reset(state.rng)
 
         def pick(i, nxt):
             d = done.reshape((num_envs,) + (1,) * (nxt.ndim - 1))
-            return jnp.where(d, i[None], nxt)
+            return jnp.where(d, i, nxt)
         state = jax.tree.map(pick, init_state, state)
+        state = state._replace(rng=init_state.rng)
         d = done.reshape((num_envs,) + (1,) * (obs.ndim - 1))
-        obs = jnp.where(d, init_obs[None], obs)
+        obs = jnp.where(d, init_obs, obs)
         return state, obs, reward, term, trunc
 
     return reset_fn, step_fn

@@ -311,14 +311,13 @@ class BatchedEnv:
         self.cfg, self.task, self.num_envs = cfg, task, num_envs
         self.dtype = dtype
         self._reset = jax.jit(jax.vmap(
-            lambda _: core.reset(cfg, task, dtype=dtype),
-            in_axes=0))
+            lambda k: core.reset(cfg, task, key=k, dtype=dtype)))
         self._step = jax.jit(jax.vmap(
             lambda s, a: core.step_autoreset(cfg, task, s, a, dtype=dtype)))
 
-    def reset(self):
-        dummy = jnp.zeros(self.num_envs)
-        state, obs, _ = self._reset(dummy)
+    def reset(self, seed: int = 0):
+        keys = jax.random.split(jax.random.PRNGKey(seed), self.num_envs)
+        state, obs, _ = self._reset(keys)
         return state, obs
 
     def step(self, state, action):

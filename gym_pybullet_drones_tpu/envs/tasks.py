@@ -110,6 +110,28 @@ class RLTask:
 
     act: ActionType = ActionType.RPM
     obs: ObservationType = ObservationType.KIN
+    # Superset feature (reference resets are always deterministic): uniform
+    # reset noise on position [m], attitude [rad], velocity [m/s]
+    reset_pos_noise: float = 0.0
+    reset_rpy_noise: float = 0.0
+    reset_vel_noise: float = 0.0
+
+    def randomize_reset(self, cfg, state: EnvState, key):
+        if not (self.reset_pos_noise or self.reset_rpy_noise
+                or self.reset_vel_noise):
+            return state
+        import jax
+        kp, kr, kv = jax.random.split(key, 3)
+        n = cfg.num_drones
+        dtype = state.pos.dtype
+        pos = state.pos + self.reset_pos_noise * jax.random.uniform(
+            kp, (n, 3), dtype, -1.0, 1.0)
+        rpy = quat_ops.quat_to_rpy(state.quat) +             self.reset_rpy_noise * jax.random.uniform(
+                kr, (n, 3), dtype, -1.0, 1.0)
+        vel = state.vel + self.reset_vel_noise * jax.random.uniform(
+            kv, (n, 3), dtype, -1.0, 1.0)
+        return state._replace(pos=pos, quat=quat_ops.rpy_to_quat(rpy),
+                              vel=vel)
 
     def action_dim(self, cfg) -> int:
         if self.act in (ActionType.RPM, ActionType.VEL):

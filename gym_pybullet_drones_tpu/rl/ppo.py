@@ -104,9 +104,8 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     # throughput path: Pallas-fused physics for DYN configs, vmapped core
     # otherwise (envs/fast.py falls back transparently)
     from gym_pybullet_drones_tpu.envs.fast import make_batched_step
-    _reset_fn, batched_step = make_batched_step(
+    batched_reset, batched_step = make_batched_step(
         env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype)
-    batched_reset = jax.vmap(lambda _: core.reset(env_cfg, task, dtype=dtype))
 
     if ppo.anneal_lr:
         total_opt_steps = (ppo.num_updates * ppo.update_epochs
@@ -120,7 +119,7 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     )
 
     def init(key: jax.Array) -> TrainState:
-        env_state, obs, _ = batched_reset(jnp.zeros(ppo.num_envs))
+        env_state, obs = batched_reset()
         obs = _flat_obs(obs)
         key, sub = jax.random.split(key)
         params = network.init(sub, obs[:1])
@@ -237,7 +236,7 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
 
     def evaluate(params, key, num_steps: int = 240):
         """Deterministic-policy rollout; returns summed reward per env."""
-        env_state, obs, _ = batched_reset(jnp.zeros(ppo.num_envs))
+        env_state, obs = batched_reset()
         obs = _flat_obs(obs)
 
         def step_fn(carry, _):

@@ -205,3 +205,33 @@ def test_pyb_obstacle_collision():
     dist = float(jnp.linalg.norm(st.pos[0] - jnp.asarray([0.0, 2.0, 0.5])))
     assert dist > 0.5
     assert float(st.pos[0, 1]) < 2.0
+
+
+def test_randomized_resets_decorrelate_envs():
+    """RLTask reset noise gives distinct per-env starts; default is exact."""
+    import dataclasses
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    noisy = HoverTask(act=ActionType.RPM, reset_pos_noise=0.2,
+                      reset_rpy_noise=0.1)
+    benv = BatchedEnv(cfg, noisy, num_envs=16)
+    state, obs = benv.reset(seed=3)
+    spread = float(jnp.std(state.pos[:, 0, 0]))
+    assert spread > 0.01  # x positions differ across envs
+
+    # default task: deterministic reference parity
+    plain = HoverTask(act=ActionType.RPM)
+    benv2 = BatchedEnv(cfg, plain, num_envs=16)
+    s2, _ = benv2.reset(seed=3)
+    assert float(jnp.std(s2.pos[:, 0, 0])) == 0.0
+    np.testing.assert_allclose(np.asarray(s2.pos[0, 0, 2]), P.CF2X.init_z,
+                               atol=1e-6)
+
+    # auto-reset re-randomizes from the carried rng: run noisy envs to
+    # truncation and check positions differ again after the reset
+    a = jnp.tile(jnp.asarray([[1.0, 1.0, -1.0, -1.0]], jnp.float32),
+                 (16, 1, 1))
+    state_n = state
+    for _ in range(60):
+        state_n, obs_n, r, te, tr = benv.step(state_n, a)
+    assert float(jnp.std(state_n.pos[:, 0, 0])) > 0.001
