@@ -145,5 +145,8 @@ if __name__ == "__main__":
     parser.add_argument("--local", default=True, type=str2bool,
                         help="full budget if True, smoke budget if False",
                         metavar="")
+    parser.add_argument("--num_envs", default=64, type=int,
+                        help="parallel envs for the on-device learner",
+                        metavar="")
     ARGS = parser.parse_args()
     run(**vars(ARGS))
