@@ -52,7 +52,10 @@ class EnvState(NamedTuple):
     rpy_rates: jnp.ndarray      # (N, 3)  body rates carry (DYN mode)
     ang_v: jnp.ndarray          # (N, 3)  world angular velocity
     last_rpm: jnp.ndarray       # (N, 4)  last applied clipped rpm
-    action_buffer: jnp.ndarray  # (BUF, N, A) action history, oldest first
+    action_buffer: jnp.ndarray  # (N, BUF, A) action history, oldest first
+                                # (drone-major so the obs concat needs no
+                                # transpose; the reference's deque is
+                                # time-major, BaseRLAviary.py:66-67)
     ctrl_state: dsl_pid.PIDState  # embedded-PID carry (zeros when unused)
     step_counter: jnp.ndarray   # () int32, counts PYB substeps
     rng: jnp.ndarray            # (2,) uint32 legacy PRNG key (randomized
@@ -229,7 +232,7 @@ def reset(cfg: AviaryConfig, task, key: jax.Array | None = None,
         rpy_rates=jnp.zeros((n, 3), dtype),
         ang_v=jnp.zeros((n, 3), dtype),
         last_rpm=jnp.zeros((n, 4), dtype),
-        action_buffer=jnp.zeros((buf_size, n, act_dim), dtype),
+        action_buffer=jnp.zeros((n, buf_size, act_dim), dtype),
         ctrl_state=dsl_pid.init_state((n,), dtype),
         step_counter=jnp.zeros((), jnp.int32),
         rng=key,

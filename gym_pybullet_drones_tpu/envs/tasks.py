@@ -148,9 +148,10 @@ class RLTask:
         return 12 + buf * adim
 
     def preprocess_action(self, cfg, state: EnvState, action):
-        # push into the ring (oldest first, like the reference deque)
+        # push into the ring (oldest first, like the reference deque);
+        # buffer is (N, BUF, A), so the shift runs along axis -2
         buf = jnp.concatenate(
-            [state.action_buffer[1:], action[None]], axis=0)
+            [state.action_buffer[:, 1:], action[:, None, :]], axis=1)
         state = state._replace(action_buffer=buf)
         hover = cfg.drone.hover_rpm
         if self.act == ActionType.RPM:
@@ -199,9 +200,10 @@ class RLTask:
         obs12 = jnp.concatenate(
             [state.pos, rpy, state.vel, state.ang_v], axis=-1)
         buf, adim = self.action_buffer_shape(cfg)
-        # (BUF, N, A) -> (N, BUF*A), oldest first (reference :317-318)
-        hist = jnp.moveaxis(state.action_buffer, 0, -2)
-        hist = hist.reshape(hist.shape[:-2] + (buf * adim,))
+        # (N, BUF, A) -> (N, BUF*A), oldest first (reference :317-318);
+        # drone-major storage makes this a free reshape, no transpose
+        hist = state.action_buffer.reshape(
+            state.action_buffer.shape[:-2] + (buf * adim,))
         return jnp.concatenate([obs12, hist], axis=-1)
 
     def compute_reward(self, cfg, state):

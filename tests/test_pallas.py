@@ -67,14 +67,20 @@ def test_fast_batched_step_matches_core():
     task = HoverTask(act=ActionType.RPM)
     B = 4
     reset_fn, step_fn = make_batched_step(cfg, task, B)
-    state, obs = reset_fn()
+    state, obs = reset_fn(seed=0)
     a = jnp.asarray(0.05 * np.random.default_rng(0).normal(size=(B, 1, 4)),
                     jnp.float32)
     s2, obs2, r2, te2, tr2 = jax.jit(step_fn)(state, a)
 
+    # core path from the SAME per-env keys (the fast carry is flattened,
+    # so rebuild the (B, N, ...) state independently)
     from gym_pybullet_drones_tpu.envs import core
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    cstate, cobs, _ = jax.vmap(
+        lambda k: core.reset(cfg, task, key=k))(keys)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(cobs))
     vstep = jax.vmap(lambda s, a: core.step_autoreset(cfg, task, s, a))
-    s3, obs3, r3, te3, tr3, _ = vstep(state, a)
+    s3, obs3, r3, te3, tr3, _ = vstep(cstate, a)
     np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r3), rtol=1e-4)
@@ -88,14 +94,16 @@ def test_fast_batched_step_multidrone():
     task = MultiHoverTask(act=ActionType.RPM)
     B = 3
     reset_fn, step_fn = make_batched_step(cfg, task, B)
-    state, obs = reset_fn()
+    state, obs = reset_fn(seed=0)
     a = jnp.asarray(0.03 * np.random.default_rng(1).normal(size=(B, 2, 4)),
                     jnp.float32)
     s2, obs2, r2, te2, tr2 = jax.jit(step_fn)(state, a)
 
     from gym_pybullet_drones_tpu.envs import core
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    cstate, _, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
     vstep = jax.vmap(lambda s, a: core.step_autoreset(cfg, task, s, a))
-    s3, obs3, r3, *_ = vstep(state, a)
+    s3, obs3, r3, *_ = vstep(cstate, a)
     np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r3), rtol=1e-4)
