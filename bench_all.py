@@ -73,15 +73,19 @@ def main():
                     update_epochs=4)
     init, update, _, _ = make_train(cfg, HoverTask(act=ActionType.RPM), ppo)
     ts = init(jax.random.key(0))
-    upd = jax.jit(update)
-    ts, m = upd(ts)
-    float(m["mean_reward"])
+    # chunked training: 8 updates per launch (update.many) so the remote
+    # dispatch cost is amortized exactly as a real training loop would
+    n_chain = 8
+    upd = jax.jit(update.many, static_argnums=1)
+    ts, m = upd(ts, n_chain)
+    float(m["mean_reward"][-1])
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        ts, m = upd(ts)
-        float(m["mean_reward"])
-        best = max(best, ppo.batch_size / (time.perf_counter() - t0))
+        ts, m = upd(ts, n_chain)
+        float(m["mean_reward"][-1])
+        best = max(best, n_chain * ppo.batch_size
+                   / (time.perf_counter() - t0))
     results.append({"metric": "ppo_env_steps_per_sec_hover2048",
                     "value": round(best, 1), "unit": "env-steps/s",
                     "vs_baseline": round(best / 1e7, 4)})

@@ -4,15 +4,26 @@ The general path (core.step under jax.vmap) is fully flexible; this module
 provides the throughput configuration used by benchmarks and large-scale
 training: the env batch is kept as explicit leading axes and the DYN physics
 of a whole control step runs as ONE fused Pallas launch over the flattened
-(envs * drones) batch (ops/pallas_dyn.py), with the cheap task logic
-(action mapping, obs/reward/termination, auto-reset) vmapped around it.
+(envs * drones) batch (ops/pallas_dyn.py), with the task logic (action
+mapping, obs/reward/termination, auto-reset) computed on the same flattened
+arrays.
 
-Layout note: the lax.scan CARRY holds state leaves with the (env, drone)
-axes collapsed — (B*N, k) — because TPU tiles the trailing two dims of every
-materialized buffer to (8, 128): a (B, 2, 3) carry would be padded ~350x
-and relayout-copied every iteration (measured ~10x slowdown for 2-drone
-tasks).  The (B, N, k) views used by the task layer are ephemeral reshapes
-inside the fused step, never carried.
+Layout notes (all measured on TPU, see SCALING.md):
+- The lax.scan CARRY holds state leaves with the (env, drone) axes collapsed
+  — (B*N, k) — because TPU tiles the trailing two dims of every materialized
+  buffer to (8, 128): a (B, 2, 3) carry would be padded ~350x and
+  relayout-copied every iteration.
+- The action-history ring is carried 2-D as (B*N, BUF*A) (one padded tile
+  row per 8 drones); the per-step push is a slice+concat on the last axis,
+  identical to the reference's deque shift in row-major order.
+- Task pre/post processing runs UNBATCHED on the flat (B*N, k) leaves via
+  the tasks' `_map_to_rpm` / `flat_post` hooks (tasks.py) — the earlier
+  per-env vmap materialized (B, N, k) intermediates that dominated the
+  step time for N > 1 (38 us of a 66 us MultiHover step).  Tasks without
+  flat hooks (e.g. RGB observations) fall back to the vmapped methods.
+- Deterministic tasks auto-reset to a CONSTANT state; it is precomputed
+  once here instead of re-deriving it (vmapped threefry splits + initial
+  obs) inside every scan iteration.
 
 Only Physics.DYN + float32 states are eligible for the Pallas kernel (the
 fused f32 math); other configs fall back to the vmapped core kernels
@@ -40,6 +51,7 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     """
     n = cfg.num_drones
     bn = num_envs * n
+    buf_len, act_dim = task.action_buffer_shape(cfg)
     pallas_ok = (use_pallas and cfg.physics == Physics.DYN
                  and dtype == jnp.float32)
 
@@ -51,7 +63,8 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         return s._replace(
             pos=r2(s.pos), quat=r2(s.quat), vel=r2(s.vel),
             rpy_rates=r2(s.rpy_rates), ang_v=r2(s.ang_v),
-            last_rpm=r2(s.last_rpm), action_buffer=r2(s.action_buffer),
+            last_rpm=r2(s.last_rpm),
+            action_buffer=s.action_buffer.reshape(bn, buf_len * act_dim),
             ctrl_state=jax.tree.map(r2, s.ctrl_state))
 
     def _unflatten(s: core.EnvState) -> core.EnvState:
@@ -59,8 +72,14 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         return s._replace(
             pos=r3(s.pos), quat=r3(s.quat), vel=r3(s.vel),
             rpy_rates=r3(s.rpy_rates), ang_v=r3(s.ang_v),
-            last_rpm=r3(s.last_rpm), action_buffer=r3(s.action_buffer),
+            last_rpm=r3(s.last_rpm),
+            action_buffer=s.action_buffer.reshape(
+                num_envs, n, buf_len, act_dim),
             ctrl_state=jax.tree.map(r3, s.ctrl_state))
+
+    def _unflatten_view(s: core.EnvState) -> core.EnvState:
+        """Per-env (N, ...) leaves view for the vmapped fallback methods."""
+        return _unflatten(s)
 
     def reset_fn(seed: int = 0):
         keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
@@ -79,36 +98,84 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                 rpy_rates=out.rpy_rates, ang_v=out.ang_v,
                 last_rpm=flat_rpm)
 
-        def sub(s, r):
-            for _ in range(cfg.steps_per_ctrl):
-                s = core._apply_physics_substep(cfg, s, r)
-            return s
-        st = jax.vmap(sub)(_unflatten(flat),
-                           flat_rpm.reshape(num_envs, n, 4))
-        return _flatten(st)
+        # XLA fallback: the core substep kernels broadcast over the flat
+        # (B*N, k) batch directly for the per-drone physics; only downwash
+        # couples drones within an env, so that mode unflattens.
+        if cfg.physics in (Physics.PYB_DW, Physics.PYB_GND_DRAG_DW):
+            def sub(s, r):
+                for _ in range(cfg.steps_per_ctrl):
+                    s = core._apply_physics_substep(cfg, s, r)
+                return s
+            st = jax.vmap(sub)(_unflatten(flat),
+                               flat_rpm.reshape(num_envs, n, 4))
+            return _flatten(st)
+        s = flat
+        for _ in range(cfg.steps_per_ctrl):
+            s = core._apply_physics_substep(cfg, s, flat_rpm)
+        return s
 
-    pre = jax.vmap(lambda s, a: task.preprocess_action(cfg, s, a))
-    post = jax.vmap(lambda s: (task.compute_obs(cfg, s),
-                               task.compute_reward(cfg, s),
-                               task.compute_terminated(cfg, s),
-                               task.compute_truncated(cfg, s)))
+    # ---- task pre/post: flat hooks with vmapped fallback ----
+    has_flat_post = getattr(task, "flat_post", None) is not None
+    has_flat_pre = getattr(task, "_map_to_rpm", None) is not None
+
+    vmapped_pre = jax.vmap(lambda s, a: task.preprocess_action(cfg, s, a))
+    vmapped_post = jax.vmap(lambda s: (task.compute_obs(cfg, s),
+                                       task.compute_reward(cfg, s),
+                                       task.compute_terminated(cfg, s),
+                                       task.compute_truncated(cfg, s)))
+
+    def _pre(flat: core.EnvState, action):
+        """action (B, N, A) -> (rpm (B*N, 4), updated flat state)."""
+        if not has_flat_pre:
+            rpm, view = vmapped_pre(_unflatten_view(flat), action)
+            return rpm.reshape(bn, 4), _flatten(view)
+        a = action.reshape(bn, act_dim)
+        if buf_len > 0:
+            buf = jnp.concatenate(
+                [flat.action_buffer[:, act_dim:], a], axis=-1)
+            flat = flat._replace(action_buffer=buf)
+        rpm, flat = task._map_to_rpm(cfg, flat, a)
+        return rpm, flat
+
+    def _post(flat: core.EnvState):
+        if has_flat_post:
+            out = task.flat_post(cfg, flat, num_envs, n)
+            if out is not None:
+                return out
+        return vmapped_post(_unflatten_view(flat))
+
+    # Deterministic tasks (no reset noise) re-reset to a CONSTANT state:
+    # precompute it once (eagerly; the concrete arrays become trace-time
+    # constants of step_fn) instead of running the whole vmapped reset
+    # inside every scan iteration.
+    randomized = any(
+        getattr(task, f, 0.0)
+        for f in ("reset_pos_noise", "reset_rpy_noise", "reset_vel_noise"))
+    if autoreset and not randomized:
+        _keys = jnp.broadcast_to(jax.random.PRNGKey(0), (num_envs, 2))
+        _cs, _cobs, _ = jax.jit(batched_reset)(_keys)
+        const_init_flat, const_init_obs = _flatten(_cs), _cobs
 
     def step_fn(flat: core.EnvState, action):
         action = jnp.asarray(action, flat.pos.dtype)
-        rpm, view = pre(_unflatten(flat), action)
-        flat = _flatten(view)
-        flat = _physics(flat, rpm.reshape(bn, 4))
+        rpm, flat = _pre(flat, action)
+        flat = _physics(flat, rpm)
         flat = flat._replace(
             step_counter=flat.step_counter + cfg.steps_per_ctrl)
-        obs, reward, term, trunc = post(_unflatten(flat))
+        obs, reward, term, trunc = _post(flat)
         if not autoreset:
             return flat, obs, reward, term, trunc
         done = jnp.logical_or(term, trunc)                     # (B,)
-        # per-env re-reset from each env's carried key (randomized tasks
-        # re-randomize; deterministic tasks reproduce the fixed init)
-        init_state, init_obs, _ = batched_reset(flat.rng)
-        init_flat = _flatten(init_state)
-        done_bn = jnp.repeat(done, n)                          # (B*N,)
+        if randomized:
+            # per-env re-reset from each env's carried key (randomized
+            # tasks re-randomize)
+            init_state, init_obs, _ = batched_reset(flat.rng)
+            init_flat = _flatten(init_state)
+        else:
+            # constant re-reset (precomputed); keep the rng carry inert
+            init_flat = const_init_flat._replace(rng=flat.rng)
+            init_obs = const_init_obs
+        done_bn = jnp.broadcast_to(done[:, None], (num_envs, n)).reshape(bn)
 
         def pick(i, nxt):
             d = done_bn if nxt.shape[:1] == (bn,) else done

@@ -86,6 +86,41 @@ class RoutingTask(RLTask):
         timeout = (state.step_counter / cfg.pyb_freq) > self.episode_len_sec
         return tilted | timeout
 
+    # ---- flattened fast-path hooks (envs/fast.py) ----
+
+    def flat_extra_obs(self, cfg, flat, num_envs, num_drones):
+        b, n = num_envs, num_drones
+        dest = jnp.tile(self._dest(flat), (b, 1))              # (B*N, 3)
+        goal_vec = dest - flat.pos
+        pos = flat.pos.reshape(b, n, 3)
+        diff = pos[:, None, :, :] - pos[:, :, None, :]         # (B, n, i, 3)
+        dist = jnp.linalg.norm(diff, axis=-1)
+        dist = dist + jnp.eye(n, dtype=dist.dtype) * 1e9
+        nearest = jnp.argmin(dist, axis=-1)                    # (B, n)
+        nn_vec = jnp.take_along_axis(
+            diff, nearest[..., None, None].repeat(3, -1), axis=2)[:, :, 0, :]
+        return jnp.concatenate(
+            [goal_vec, nn_vec.reshape(b * n, 3)], axis=-1)
+
+    def flat_reward_done(self, cfg, flat, rpy, num_envs, num_drones):
+        b, n = num_envs, num_drones
+        dest = jnp.tile(self._dest(flat), (b, 1))
+        d = jnp.linalg.norm(dest - flat.pos, axis=-1).reshape(b, n)
+        arrival = (d < self.arrival_tol).astype(flat.pos.dtype)
+        pos = flat.pos.reshape(b, n, 3)
+        diff = pos[:, None, :, :] - pos[:, :, None, :]
+        dist = jnp.linalg.norm(diff, axis=-1)
+        close = (dist < self.collision_radius) & \
+            ~jnp.eye(n, dtype=bool)[None]
+        penalty = jnp.sum(close.astype(flat.pos.dtype), axis=(-2, -1))
+        reward = jnp.sum(-d + 10.0 * arrival, axis=-1) - 5.0 * penalty
+        term = jnp.all(d < self.arrival_tol, axis=-1)
+        rpy2 = rpy.reshape(b, n, 3)
+        tilted = jnp.any((jnp.abs(rpy2[..., 0]) > 0.8)
+                         | (jnp.abs(rpy2[..., 1]) > 0.8), axis=-1)
+        timeout = (flat.step_counter / cfg.pyb_freq) > self.episode_len_sec
+        return reward, term, tilted | timeout
+
 
 def make_routing_config(num_drones: int = 4, spacing: float = 0.5,
                         physics=None, pyb_freq: int = 240,

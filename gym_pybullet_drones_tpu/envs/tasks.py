@@ -49,6 +49,11 @@ class CtrlTask:
         return 20
 
     def preprocess_action(self, cfg, state: EnvState, action):
+        return self._map_to_rpm(cfg, state, action)
+
+    def _map_to_rpm(self, cfg, state: EnvState, action):
+        """Action -> rpm mapping, independent of batch layout (leaves may be
+        (N, k) per-env or (B*N, k) flattened — see envs/fast.py)."""
         rpm = jnp.clip(action, 0.0, cfg.drone.max_rpm)
         return rpm, state
 
@@ -63,6 +68,20 @@ class CtrlTask:
 
     def compute_truncated(self, cfg, state):
         return jnp.asarray(False)
+
+    def flat_post(self, cfg, flat: EnvState, num_envs: int, num_drones: int):
+        """Batched post-processing on the FLATTENED (B*N, k) state.
+
+        Returns (obs (B, N, D), reward (B,), term (B,), trunc (B,)) or None
+        to make envs/fast.py fall back to the vmapped per-env methods.
+        Semantics must match compute_obs/_reward/_terminated/_truncated
+        (cross-checked in tests/test_pallas.py).
+        """
+        b, n = num_envs, num_drones
+        obs = state_vector(flat).reshape(b, n, 20)
+        dtype = flat.pos.dtype
+        return (obs, jnp.full((b,), -1.0, dtype),
+                jnp.zeros((b,), bool), jnp.zeros((b,), bool))
 
 
 def _embedded_pid(cfg, state: EnvState, target_pos, target_rpy=None,
@@ -84,7 +103,7 @@ class VelocityTask(CtrlTask):
     0.03 * MAX_SPEED_KMH * 1000/3600 (:78).
     """
 
-    def preprocess_action(self, cfg, state: EnvState, action):
+    def _map_to_rpm(self, cfg, state: EnvState, action):
         v = action[..., 0:3]
         norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
         v_unit = jnp.where(norm > 0, v / jnp.where(norm > 0, norm, 1.0), 0.0)
@@ -153,6 +172,11 @@ class RLTask:
         buf = jnp.concatenate(
             [state.action_buffer[:, 1:], action[:, None, :]], axis=1)
         state = state._replace(action_buffer=buf)
+        return self._map_to_rpm(cfg, state, action)
+
+    def _map_to_rpm(self, cfg, state: EnvState, action):
+        """Action -> rpm, layout-independent (no buffer push; leaves may be
+        per-env (N, k) or flattened (B*N, k) — see envs/fast.py)."""
         hover = cfg.drone.hover_rpm
         if self.act == ActionType.RPM:
             rpm = hover * (1 + 0.05 * action)
@@ -215,6 +239,43 @@ class RLTask:
     def compute_truncated(self, cfg, state):
         return jnp.asarray(False)
 
+    # ---- flattened fast-path hooks (envs/fast.py) ----
+    # The vmapped per-env methods above materialize (B, N, k) intermediates
+    # whose trailing dims TPU pads to (8, 128) tiles; the flat hooks compute
+    # the same quantities on (B*N, k) arrays (one padded tile row per 8
+    # drones instead of per drone) and reduce over the drone axis via a
+    # cheap (B, N) reshape.  Equivalence is asserted in tests/test_pallas.py.
+
+    def flat_post(self, cfg, flat: EnvState, num_envs: int, num_drones: int):
+        if self.obs == ObservationType.RGB:
+            return None  # renderer path: fall back to the vmapped methods
+        b, n = num_envs, num_drones
+        rpy = quat_ops.quat_to_rpy(flat.quat)                  # (B*N, 3)
+        obs12 = jnp.concatenate(
+            [flat.pos, rpy, flat.vel, flat.ang_v], axis=-1)
+        buf, adim = self.action_buffer_shape(cfg)
+        hist = flat.action_buffer.reshape(b * n, buf * adim)
+        cols = [obs12, hist]
+        extra = self.flat_extra_obs(cfg, flat, num_envs, num_drones)
+        if extra is not None:
+            cols.append(extra)
+        obs = jnp.concatenate(cols, axis=-1).reshape(b, n, -1)
+        reward, term, trunc = self.flat_reward_done(
+            cfg, flat, rpy, num_envs, num_drones)
+        return obs, reward, term, trunc
+
+    def flat_extra_obs(self, cfg, flat: EnvState, num_envs: int,
+                       num_drones: int):
+        """Optional task-specific obs columns appended after the history."""
+        return None
+
+    def flat_reward_done(self, cfg, flat: EnvState, rpy, num_envs: int,
+                         num_drones: int):
+        """(reward (B,), terminated (B,), truncated (B,)) on the flat state."""
+        dtype = flat.pos.dtype
+        return (jnp.zeros((num_envs,), dtype),
+                jnp.zeros((num_envs,), bool), jnp.zeros((num_envs,), bool))
+
 
 @dataclasses.dataclass(frozen=True)
 class HoverTask(RLTask):
@@ -246,6 +307,21 @@ class HoverTask(RLTask):
               (jnp.abs(rpy[1]) > 0.4)
         timeout = (state.step_counter / cfg.pyb_freq) > self.episode_len_sec
         return out | timeout
+
+    def flat_reward_done(self, cfg, flat, rpy, num_envs, num_drones):
+        b, n = num_envs, num_drones
+        # drone 0 per env (reference HoverAviary scores the single drone)
+        pos = flat.pos.reshape(b, n, 3)[:, 0]                  # (B, 3)
+        rpy0 = rpy.reshape(b, n, 3)[:, 0]
+        tgt = jnp.asarray(self.target_pos, pos.dtype)
+        d = jnp.linalg.norm(tgt - pos, axis=-1)                # (B,)
+        reward = jnp.maximum(0.0, 2.0 - d ** 4)
+        term = d < 1e-4
+        out = (jnp.abs(pos[:, 0]) > 1.5) | (jnp.abs(pos[:, 1]) > 1.5) | \
+              (pos[:, 2] > 2.0) | (jnp.abs(rpy0[:, 0]) > 0.4) | \
+              (jnp.abs(rpy0[:, 1]) > 0.4)
+        timeout = (flat.step_counter / cfg.pyb_freq) > self.episode_len_sec
+        return reward, term, out | timeout
 
 
 @dataclasses.dataclass(frozen=True)
@@ -281,3 +357,20 @@ class MultiHoverTask(RLTask):
               (jnp.abs(rpy[:, 0]) > 0.4) | (jnp.abs(rpy[:, 1]) > 0.4)
         timeout = (state.step_counter / cfg.pyb_freq) > self.episode_len_sec
         return jnp.any(out) | timeout
+
+    def flat_reward_done(self, cfg, flat, rpy, num_envs, num_drones):
+        b, n = num_envs, num_drones
+        init = cfg.default_init_xyzs().astype(flat.pos.dtype)  # (N, 3)
+        i = jnp.arange(n, dtype=flat.pos.dtype)
+        tgt = init.at[:, 2].add(1.0 / (i + 1))                 # (N, 3)
+        d = jnp.linalg.norm(jnp.tile(tgt, (b, 1)) - flat.pos,
+                            axis=-1).reshape(b, n)             # (B, N)
+        reward = jnp.sum(jnp.maximum(0.0, 2.0 - d ** 4), axis=-1)
+        term = jnp.sum(d, axis=-1) < 1e-4
+        out = (jnp.abs(flat.pos[:, 0]) > 2.0) | \
+              (jnp.abs(flat.pos[:, 1]) > 2.0) | (flat.pos[:, 2] > 2.0) | \
+              (jnp.abs(rpy[:, 0]) > 0.4) | (jnp.abs(rpy[:, 1]) > 0.4)
+        timeout = (flat.step_counter / cfg.pyb_freq) > self.episode_len_sec
+        trunc = jnp.any(out.reshape(b, n), axis=-1) | timeout
+        return reward, term, trunc
+

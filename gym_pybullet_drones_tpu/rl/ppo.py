@@ -234,6 +234,17 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
                             update_idx=ts.update_idx + 1)
         return new_ts, metrics
 
+    def update_many(ts: TrainState, num_updates: int):
+        """`num_updates` PPO updates in ONE jitted lax.scan.
+
+        Chains rollout+optimize iterations on-device so the per-launch
+        dispatch cost (tens of ms through a remote-TPU tunnel) is paid once
+        per chunk instead of once per update.  Returns (ts, metrics) with a
+        leading (num_updates,) axis on every metric.
+        """
+        return jax.lax.scan(lambda t, _: update(t), ts, None,
+                            length=num_updates)
+
     def evaluate(params, key, num_steps: int = 240):
         """Deterministic-policy rollout; returns summed reward per env."""
         env_state, obs = batched_reset()
@@ -251,4 +262,5 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
                                   length=num_steps)
         return rewards.sum(axis=0)
 
+    update.many = update_many  # chunked training without changing arity
     return init, update, evaluate, network

@@ -86,6 +86,80 @@ def test_fast_batched_step_matches_core():
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r3), rtol=1e-4)
 
 
+def test_fast_routing_task_matches_core():
+    """Flat pre (embedded PID) + flat post (extra obs cols) vs vmapped core."""
+    from gym_pybullet_drones_tpu.envs import core
+    from gym_pybullet_drones_tpu.envs.routing import make_routing_config
+    cfg, task = make_routing_config(num_drones=3, physics=Physics.DYN)
+    B = 4
+    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    state, obs = reset_fn(seed=0)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    cstate, cobs, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(cobs))
+
+    rng = np.random.default_rng(7)
+    vstep = jax.vmap(lambda s, a: core.step_autoreset(cfg, task, s, a))
+    for _ in range(3):
+        a = jnp.asarray(rng.normal(size=(B, 3, 3)), jnp.float32)
+        state, obs2, r2, te2, tr2 = step_fn(state, a)
+        cstate, obs3, r3, te3, tr3, _ = vstep(cstate, a)
+        np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
+                                   rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(r3),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(te2), np.asarray(te3))
+        np.testing.assert_array_equal(np.asarray(tr2), np.asarray(tr3))
+
+
+def test_fast_vel_action_matches_core():
+    """Flat embedded-PID VEL action mapping vs the vmapped core path."""
+    from gym_pybullet_drones_tpu.envs import core
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    task = HoverTask(act=ActionType.VEL)
+    B = 4
+    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    state, obs = reset_fn(seed=0)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    cstate, _, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
+    vstep = jax.vmap(lambda s, a: core.step_autoreset(cfg, task, s, a))
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        a = jnp.asarray(rng.normal(size=(B, 1, 4)), jnp.float32)
+        state, obs2, r2, *_ = step_fn(state, a)
+        cstate, obs3, r3, *_ = vstep(cstate, a)
+        np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
+                                   rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(r3),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_fast_ctrl_task_flat_post():
+    """CtrlTask 20-dim obs through the flat fast path vs vmapped core."""
+    from gym_pybullet_drones_tpu.envs import core
+    from gym_pybullet_drones_tpu.envs.tasks import CtrlTask
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=2, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=48)
+    task = CtrlTask()
+    B = 3
+    reset_fn, step_fn = make_batched_step(cfg, task, B, autoreset=False)
+    state, obs = reset_fn(seed=0)
+    assert obs.shape == (B, 2, 20)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    cstate, _, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
+    vstep = jax.vmap(lambda s, a: core.step(cfg, task, s, a)[:3])
+    rng = np.random.default_rng(5)
+    for _ in range(2):
+        a = jnp.asarray(P.CF2X.hover_rpm
+                        * (1 + 0.01 * rng.normal(size=(B, 2, 4))),
+                        jnp.float32)
+        state, obs2, r2, *_ = step_fn(state, a)
+        cstate, obs3, r3 = vstep(cstate, a)
+        np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
+                                   rtol=3e-5, atol=3e-5)
+
+
 def test_fast_batched_step_multidrone():
     """Fast path with num_drones=2 (flattened env*drone pallas batch)."""
     cfg = AviaryConfig(drone=P.CF2X, num_drones=2, physics=Physics.DYN,

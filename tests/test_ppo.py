@@ -36,6 +36,17 @@ def test_ppo_update_runs_and_shapes():
                zip(leaves1, leaves2))
 
 
+def test_ppo_update_many_chains_updates():
+    """update.many(ts, k) == k chained updates in one scanned program."""
+    cfg, task, ppo = _setup()
+    init, update, _, _ = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(0))
+    ts2, metrics = jax.jit(update.many, static_argnums=1)(ts, 3)
+    assert metrics["mean_reward"].shape == (3,)
+    assert int(ts2.update_idx) == 3
+    assert np.all(np.isfinite(np.asarray(metrics["pg_loss"])))
+
+
 def test_ppo_improves_reward():
     """A few updates on Hover should raise mean reward above the initial."""
     cfg, task, ppo = _setup(num_envs=16, rollout=32)
