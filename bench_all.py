@@ -59,9 +59,9 @@ def main():
                     "value": round(rate, 1), "unit": "env-steps/s",
                     "vs_baseline": round(rate / 1e7, 4)})
 
-    # Routing fleet: 4-drone PID-routing, 512 envs
+    # Routing fleet: 4-drone PID-routing, 512 envs (fused PID+DYN kernel)
     cfg, task = make_routing_config(num_drones=4, physics=Physics.DYN)
-    rate = _bench_env(cfg, task, 512, chunk=512, act_dim=3)
+    rate = _bench_env(cfg, task, 512, chunk=1024, act_dim=3)
     results.append({"metric": "env_steps_per_sec_routing4x512",
                     "value": round(rate, 1), "unit": "env-steps/s",
                     "vs_baseline": round(rate / 1e7, 4)})

@@ -203,7 +203,16 @@ def _apply_physics_substep(cfg: AviaryConfig, state: EnvState,
                    ang_v=state.ang_v)
     out = pyb_step(d, pyb, rpm, dt, ext_force=ext_f, ext_torque=ext_t,
                    obstacles=cfg.obstacles)
-    return state._replace(pos=out.pos, quat=out.quat, vel=out.vel,
+    pos, vel = out.pos, out.vel
+    if cfg.num_drones > 1:
+        # Bullet resolves drone-drone contact in all PYB* modes (every
+        # drone lives in one world, reference BaseAviary.py:484-491); DYN
+        # mode has no contact in the reference either (state is reset, not
+        # stepped, :862-872)
+        from gym_pybullet_drones_tpu.ops.rigid_body import (
+            resolve_drone_collisions)
+        pos, vel = resolve_drone_collisions(d, pos, vel)
+    return state._replace(pos=pos, quat=out.quat, vel=vel,
                           ang_v=out.ang_v, last_rpm=rpm)
 
 

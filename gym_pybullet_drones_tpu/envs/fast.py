@@ -35,8 +35,9 @@ import jax
 import jax.numpy as jnp
 
 from gym_pybullet_drones_tpu.envs import core
-from gym_pybullet_drones_tpu.utils.enums import Physics
-from gym_pybullet_drones_tpu.ops import pallas_dyn
+from gym_pybullet_drones_tpu.params import CF2X
+from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
+from gym_pybullet_drones_tpu.ops import pallas_dyn, pallas_pid
 from gym_pybullet_drones_tpu.ops.dynamics import DynState
 
 
@@ -99,9 +100,13 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                 last_rpm=flat_rpm)
 
         # XLA fallback: the core substep kernels broadcast over the flat
-        # (B*N, k) batch directly for the per-drone physics; only downwash
-        # couples drones within an env, so that mode unflattens.
-        if cfg.physics in (Physics.PYB_DW, Physics.PYB_GND_DRAG_DW):
+        # (B*N, k) batch directly for the per-drone physics; downwash and
+        # drone-drone contact couple drones within an env, so those
+        # configurations keep the (B, N, k) structure via vmap.
+        drone_coupled = (
+            cfg.physics in (Physics.PYB_DW, Physics.PYB_GND_DRAG_DW)
+            or (cfg.physics != Physics.DYN and n > 1))
+        if drone_coupled:
             def sub(s, r):
                 for _ in range(cfg.steps_per_ctrl):
                     s = core._apply_physics_substep(cfg, s, r)
@@ -117,6 +122,14 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     # ---- task pre/post: flat hooks with vmapped fallback ----
     has_flat_post = getattr(task, "flat_post", None) is not None
     has_flat_pre = getattr(task, "_map_to_rpm", None) is not None
+    # PID-family actions + DYN physics: the whole control step (cascaded
+    # PID + substeps) runs as ONE fused Pallas launch (ops/pallas_pid.py).
+    # Embedded controllers are always CF2X (QUIRKS.md #2), so the fused
+    # path is exact for any dynamics model.
+    fused_pid = (pallas_ok
+                 and getattr(task, "act", None) in
+                 (ActionType.PID, ActionType.VEL, ActionType.ONE_D_PID)
+                 and getattr(task, "_pid_targets", None) is not None)
 
     vmapped_pre = jax.vmap(lambda s, a: task.preprocess_action(cfg, s, a))
     vmapped_post = jax.vmap(lambda s: (task.compute_obs(cfg, s),
@@ -156,10 +169,31 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         _cs, _cobs, _ = jax.jit(batched_reset)(_keys)
         const_init_flat, const_init_obs = _flatten(_cs), _cobs
 
+    def _fused_pid_step(flat: core.EnvState, action):
+        """Buffer push + targets in XLA, PID + physics in one Pallas call."""
+        a = action.reshape(bn, act_dim)
+        if buf_len > 0:
+            buf = jnp.concatenate(
+                [flat.action_buffer[:, act_dim:], a], axis=-1)
+            flat = flat._replace(action_buffer=buf)
+        tp, trpy, tv, trr = task._pid_targets(cfg, flat, a)
+        dyn = DynState(pos=flat.pos, quat=flat.quat, vel=flat.vel,
+                       rpy_rates=flat.rpy_rates, ang_v=flat.ang_v)
+        out, new_pid, rpm = pallas_pid.pid_dyn_ctrl_step(
+            CF2X, cfg.drone, dyn, flat.ctrl_state, cfg.steps_per_ctrl,
+            cfg.pyb_dt, cfg.ctrl_dt, tp, trpy, tv, trr)
+        return flat._replace(
+            pos=out.pos, quat=out.quat, vel=out.vel,
+            rpy_rates=out.rpy_rates, ang_v=out.ang_v,
+            last_rpm=rpm, ctrl_state=new_pid)
+
     def step_fn(flat: core.EnvState, action):
         action = jnp.asarray(action, flat.pos.dtype)
-        rpm, flat = _pre(flat, action)
-        flat = _physics(flat, rpm)
+        if fused_pid:
+            flat = _fused_pid_step(flat, action)
+        else:
+            rpm, flat = _pre(flat, action)
+            flat = _physics(flat, rpm)
         flat = flat._replace(
             step_counter=flat.step_counter + cfg.steps_per_ctrl)
         obs, reward, term, trunc = _post(flat)

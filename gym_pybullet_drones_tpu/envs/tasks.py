@@ -184,12 +184,24 @@ class RLTask:
         if self.act == ActionType.ONE_D_RPM:
             rpm = jnp.repeat(hover * (1 + 0.05 * action), 4, axis=-1)
             return rpm, state
+        if self.act in (ActionType.PID, ActionType.VEL,
+                        ActionType.ONE_D_PID):
+            tp, trpy, tv, trr = self._pid_targets(cfg, state, action)
+            return _embedded_pid(cfg, state, target_pos=tp,
+                                 target_rpy=trpy, target_vel=tv)
+        raise ValueError(f"unsupported action type {self.act}")
+
+    def _pid_targets(self, cfg, state: EnvState, action):
+        """Embedded-PID setpoints (target pos/rpy/vel/rpy_rates), each
+        (..., 3), for the PID-family action types.  Layout-independent;
+        also consumed by the fused Pallas PID kernel (envs/fast.py)."""
+        zeros = jnp.zeros_like(state.pos)
         if self.act == ActionType.PID:
             # waypoint step size: RoutingTask overrides via its step_size
             # field; the reference uses 1.0 (BaseRLAviary.py:195-199)
             step = getattr(self, "step_size", 1.0)
-            next_pos = next_waypoint(state.pos, action, step_size=step)
-            return _embedded_pid(cfg, state, target_pos=next_pos)
+            return (next_waypoint(state.pos, action, step_size=step),
+                    zeros, zeros, zeros)
         if self.act == ActionType.VEL:
             v = action[..., 0:3]
             norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
@@ -200,13 +212,11 @@ class RLTask:
                 [jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], axis=-1)
             target_vel = (cfg.drone.speed_limit
                           * jnp.abs(action[..., 3:4]) * v_unit)
-            return _embedded_pid(cfg, state, target_pos=state.pos,
-                                 target_rpy=target_rpy,
-                                 target_vel=target_vel)
+            return state.pos, target_rpy, target_vel, zeros
         if self.act == ActionType.ONE_D_PID:
             delta = 0.1 * jnp.pad(action, [(0, 0)] * (action.ndim - 1)
                                   + [(2, 0)])
-            return _embedded_pid(cfg, state, target_pos=state.pos + delta)
+            return state.pos + delta, zeros, zeros, zeros
         raise ValueError(f"unsupported action type {self.act}")
 
     def compute_obs(self, cfg, state: EnvState):

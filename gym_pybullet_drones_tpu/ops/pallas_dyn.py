@@ -33,15 +33,12 @@ from gym_pybullet_drones_tpu.utils.enums import DroneModel
 LANE = 128
 
 
-def _kernel(params: DroneParams, n_substeps: int, dt: float,
-            s_ref, rpm_ref, o_ref):
-    # load rows as (1, B) vectors
-    px, py, pz = s_ref[0:1, :], s_ref[1:2, :], s_ref[2:3, :]
-    qx, qy, qz, qw = (s_ref[3 + i:4 + i, :] for i in range(4))
-    vx, vy, vz = s_ref[7:8, :], s_ref[8:9, :], s_ref[9:10, :]
-    wx, wy, wz = s_ref[10:11, :], s_ref[11:12, :], s_ref[12:13, :]
+def _motor_mix(params: DroneParams, r0, r1, r2, r3):
+    """Per-motor rpm rows -> (total thrust, x/y/z torques) rows.
 
-    r0, r1, r2, r3 = (rpm_ref[i:i + 1, :] for i in range(4))
+    Same arithmetic as ops/dynamics.motor_forces_torques + the DYN torque
+    composition (reference BaseAviary.py:838-852).
+    """
     kf, km = params.kf, params.km
     f0, f1, f2, f3 = (r * r * kf for r in (r0, r1, r2, r3))
     thrust = f0 + f1 + f2 + f3
@@ -56,7 +53,18 @@ def _kernel(params: DroneParams, n_substeps: int, dt: float,
         arm = params.l / math.sqrt(2)
         x_torque = (f0 + f1 - f2 - f3) * arm
         y_torque = (-f0 + f1 + f2 - f3) * arm
+    return thrust, x_torque, y_torque, z_torque
 
+
+def _dyn_substeps(params: DroneParams, n_substeps: int, dt: float,
+                  state_rows, thrust, x_torque, y_torque, z_torque):
+    """Run n explicit-dynamics substeps on (1, B) row vectors.
+
+    state_rows = (px..pz, qx..qw, vx..vz, wx..wz) (13 rows); returns the 13
+    updated rows plus the stored world ang-vel rows (avx, avy, avz).
+    Semantics: ops/dynamics.dyn_step (reference BaseAviary.py:815-889).
+    """
+    (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz) = state_rows
     jx, jy, jz = params.ixx, params.iyy, params.izz
     inv_jx, inv_jy, inv_jz = 1.0 / jx, 1.0 / jy, 1.0 / jz
     inv_m = 1.0 / params.m
@@ -113,8 +121,19 @@ def _kernel(params: DroneParams, n_substeps: int, dt: float,
         avy = r10 * wx + r11 * wy + r12 * wz
         avz = r20 * wx + r21 * wy + r22 * wz
 
-    for i, row in enumerate((px, py, pz, qx, qy, qz, qw, vx, vy, vz,
-                             wx, wy, wz, avx, avy, avz)):
+    return (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
+            avx, avy, avz)
+
+
+def _kernel(params: DroneParams, n_substeps: int, dt: float,
+            s_ref, rpm_ref, o_ref):
+    # load rows as (1, B) vectors
+    state_rows = tuple(s_ref[i:i + 1, :] for i in range(13))
+    r0, r1, r2, r3 = (rpm_ref[i:i + 1, :] for i in range(4))
+    thrust, x_t, y_t, z_t = _motor_mix(params, r0, r1, r2, r3)
+    out = _dyn_substeps(params, n_substeps, dt, state_rows,
+                        thrust, x_t, y_t, z_t)
+    for i, row in enumerate(out):
         o_ref[i:i + 1, :] = row
 
 

@@ -139,3 +139,44 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
             vn = jnp.sum(vel * n_hat, axis=-1, keepdims=True)
             vel = jnp.where(hit & (vn < 0), vel - vn * n_hat, vel)
     return PybState(pos=pos, quat=quat, vel=vel, ang_v=ang_v)
+
+
+def resolve_drone_collisions(params: DroneParams, pos: jnp.ndarray,
+                             vel: jnp.ndarray):
+    """Pairwise drone-drone contact within one env (bounding spheres).
+
+    TPU-native approximation of Bullet's multibody contact between drone
+    collision shapes (the reference loads every drone into one PyBullet
+    world, BaseAviary.py:484-491, so bodies collide in all PYB* modes).
+    Each penetrating pair (center distance < 2 * collision_r) is separated
+    symmetrically along the pair normal and the approaching normal
+    velocity component is cancelled inelastically (restitution 0, matching
+    the URDF default).  pos/vel are (..., N, 3); O(N^2) masked pairwise,
+    vectorized over leading batch dims.
+    """
+    dtype = pos.dtype
+    n = pos.shape[-2]
+    if n < 2:
+        return pos, vel
+    min_d = 2.0 * params.collision_r
+    diff = pos[..., :, None, :] - pos[..., None, :, :]     # d[i,j] = p_i - p_j
+    dist = jnp.linalg.norm(diff, axis=-1)                  # (..., N, N)
+    eye = jnp.eye(n, dtype=bool)
+    hit = (dist < min_d) & ~eye
+    n_hat = diff / jnp.maximum(dist, 1e-6)[..., None]
+    # symmetric positional pushout: each of the pair moves half the overlap
+    overlap = jnp.maximum(min_d - dist, 0.0)
+    push = jnp.sum(
+        jnp.where(hit[..., None], 0.5 * overlap[..., None] * n_hat, 0.0),
+        axis=-2)
+    pos = pos + push
+    # inelastic normal response: cancel the approaching relative-velocity
+    # component (split evenly between the two equal-mass bodies)
+    rel_v = vel[..., :, None, :] - vel[..., None, :, :]
+    vn = jnp.sum(rel_v * n_hat, axis=-1)                   # (..., N, N)
+    approaching = hit & (vn < 0)
+    dv = jnp.sum(
+        jnp.where(approaching[..., None], -0.5 * vn[..., None] * n_hat, 0.0),
+        axis=-2)
+    vel = vel + dv
+    return pos, vel

@@ -207,6 +207,28 @@ def test_pyb_obstacle_collision():
     assert float(st.pos[0, 1]) < 2.0
 
 
+def test_pyb_drone_drone_collision():
+    """Two drones on a head-on course separate instead of passing through."""
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=2, physics=Physics.PYB,
+                       pyb_freq=240, ctrl_freq=240,
+                       init_xyzs=((0.0, -0.2, 0.5), (0.0, 0.2, 0.5)))
+    task = CtrlTask()
+    st, obs, _ = reset(cfg, task)
+    st = st._replace(vel=jnp.asarray([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]],
+                                     st.vel.dtype))
+    rpm = jnp.full((2, 4), P.CF2X.hover_rpm)
+    stepper = jax.jit(lambda s: step(cfg, task, s, rpm)[0])
+    min_sep = 1.0
+    for _ in range(120):
+        st = stepper(st)
+        min_sep = min(min_sep,
+                      float(jnp.linalg.norm(st.pos[0] - st.pos[1])))
+    # never interpenetrate beyond the sphere contact distance
+    assert min_sep > 0.9 * 2 * P.CF2X.collision_r
+    # inelastic: the approach is absorbed, drones do not tunnel through
+    assert float(st.pos[0, 1]) < float(st.pos[1, 1])
+
+
 def test_randomized_resets_decorrelate_envs():
     """RLTask reset noise gives distinct per-env starts; default is exact."""
     import dataclasses

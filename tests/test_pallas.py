@@ -86,6 +86,65 @@ def test_fast_batched_step_matches_core():
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r3), rtol=1e-4)
 
 
+def test_pallas_pid_polynomial_trig():
+    """In-kernel atan2/asin polynomials vs numpy over a dense grid."""
+    from gym_pybullet_drones_tpu.ops import pallas_pid
+    xs = np.linspace(-3.0, 3.0, 601).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(pallas_pid._atan(jnp.asarray(xs))),
+                               np.arctan(xs), atol=3e-7)
+    ys = np.linspace(-2.0, 2.0, 41).astype(np.float32)
+    yy, xx = np.meshgrid(ys, xs[::10])
+    got = np.asarray(pallas_pid._atan2(jnp.asarray(yy), jnp.asarray(xx)))
+    np.testing.assert_allclose(got, np.arctan2(yy, xx), atol=1e-6)
+    ss = np.linspace(-1.0, 1.0, 201).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(pallas_pid._asin(jnp.asarray(ss))),
+                               np.arcsin(ss), atol=2e-6)
+
+
+def test_pallas_pid_kernel_matches_xla_chain():
+    """Fused PID+DYN kernel vs dsl_pid.compute_control + dyn_step chain."""
+    from gym_pybullet_drones_tpu.ops import pallas_pid
+    from gym_pybullet_drones_tpu.control import dsl_pid
+    model = P.CF2X
+    B = 16
+    st, rng = _rand_state(B, seed=4)
+    pid = dsl_pid.PIDState(
+        last_rpy=jnp.asarray(rng.normal(size=(B, 3)) * 0.05, jnp.float32),
+        integral_pos_e=jnp.asarray(rng.normal(size=(B, 3)) * 0.01,
+                                   jnp.float32),
+        integral_rpy_e=jnp.asarray(rng.normal(size=(B, 3)) * 0.1,
+                                   jnp.float32))
+    tp = jnp.asarray(rng.normal(size=(B, 3)) * 0.5 + [0, 0, 1], jnp.float32)
+    trpy = jnp.asarray(np.concatenate(
+        [np.zeros((B, 2)), rng.normal(size=(B, 1)) * 0.5], axis=-1),
+        jnp.float32)
+    tv = jnp.asarray(rng.normal(size=(B, 3)) * 0.2, jnp.float32)
+    trr = jnp.zeros((B, 3), jnp.float32)
+
+    ctrl_dt, n_sub = 1 / 30, 8
+    out, new_pid, rpm = pallas_pid.pid_dyn_ctrl_step(
+        model, model, st, pid, n_sub, DT, ctrl_dt, tp, trpy, tv, trr)
+
+    rpm_ref, pid_ref, _, _ = dsl_pid.compute_control(
+        model, pid, ctrl_dt, cur_pos=st.pos, cur_quat=st.quat,
+        cur_vel=st.vel, target_pos=tp, target_rpy=trpy, target_vel=tv,
+        target_rpy_rates=trr)
+    ref = st
+    for _ in range(n_sub):
+        ref = dyn_step(model, ref, rpm_ref, DT)
+    np.testing.assert_allclose(np.asarray(rpm), np.asarray(rpm_ref),
+                               rtol=2e-5, atol=0.5)  # rpm ~ 1e4 scale
+    for name in ("pos", "quat", "vel", "rpy_rates", "ang_v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=3e-4, atol=3e-5, err_msg=name)
+    for name in ("last_rpy", "integral_pos_e", "integral_rpy_e"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_pid, name)),
+            np.asarray(getattr(pid_ref, name)),
+            rtol=3e-4, atol=2e-5, err_msg=name)
+
+
 def test_fast_routing_task_matches_core():
     """Flat pre (embedded PID) + flat post (extra obs cols) vs vmapped core."""
     from gym_pybullet_drones_tpu.envs import core
