@@ -66,6 +66,23 @@ def main():
                     "value": round(rate, 1), "unit": "env-steps/s",
                     "vs_baseline": round(rate / 1e7, 4)})
 
+    # Routing DEFAULT config: PYB physics + embedded PID + contact, fused
+    # envs-in-lanes kernel (ops/pallas_env.py)
+    cfg, task = make_routing_config(num_drones=4)
+    rate = _bench_env(cfg, task, 512, chunk=1024, act_dim=3)
+    results.append({"metric": "env_steps_per_sec_routing4x512_pyb",
+                    "value": round(rate, 1), "unit": "env-steps/s",
+                    "vs_baseline": round(rate / 1e7, 4)})
+
+    # All aero effects (ground effect + drag + downwash) fused, PYB mode
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1,
+                       physics=Physics.PYB_GND_DRAG_DW, pyb_freq=240,
+                       ctrl_freq=30)
+    rate = _bench_env(cfg, HoverTask(act=ActionType.RPM), 4096)
+    results.append({"metric": "env_steps_per_sec_hover4096_pyb_aero",
+                    "value": round(rate, 1), "unit": "env-steps/s",
+                    "vs_baseline": round(rate / 1e7, 4)})
+
     # PPO learner throughput: env-steps consumed per second of training
     cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
                        pyb_freq=240, ctrl_freq=30)

@@ -37,24 +37,35 @@ import jax.numpy as jnp
 from gym_pybullet_drones_tpu.envs import core
 from gym_pybullet_drones_tpu.params import CF2X
 from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
-from gym_pybullet_drones_tpu.ops import pallas_dyn, pallas_pid
+from gym_pybullet_drones_tpu.ops import pallas_dyn, pallas_env, pallas_pid
 from gym_pybullet_drones_tpu.ops.dynamics import DynState
 
 
 def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                       use_pallas: bool = True, autoreset: bool = True,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, mesh=None):
     """Build step_fn over batched EnvState with a flattened (B*N, ...) carry.
 
     Returns (reset_fn, step_fn); reset_fn(seed) -> (state, obs);
     step_fn(state, action) -> (state, obs, reward, term, trunc) with per-env
     leading axes on the outputs (obs (B, N, D), reward/term/trunc (B,)).
+
+    mesh: optional jax.sharding.Mesh — step_fn is then wrapped in shard_map
+    along the mesh's first axis (env-batch data parallelism; num_envs must
+    divide evenly).  Required for the Pallas kernels to partition instead
+    of gathering on real multi-chip meshes.
     """
     n = cfg.num_drones
     bn = num_envs * n
     buf_len, act_dim = task.action_buffer_shape(cfg)
+    # DYN physics: drones are independent -> flatten (env, drone) into
+    # lanes (ops/pallas_dyn.py / ops/pallas_pid.py, best lane utilization).
+    # PYB family: drones couple (downwash, contact) -> envs-in-lanes /
+    # drones-in-rows kernel (ops/pallas_env.py).
     pallas_ok = (use_pallas and cfg.physics == Physics.DYN
                  and dtype == jnp.float32)
+    pallas_env_ok = (use_pallas and cfg.physics != Physics.DYN
+                     and dtype == jnp.float32)
 
     batched_reset = jax.vmap(
         lambda k: core.reset(cfg, task, key=k, dtype=dtype))
@@ -98,6 +109,17 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                 pos=out.pos, quat=out.quat, vel=out.vel,
                 rpy_rates=out.rpy_rates, ang_v=out.ang_v,
                 last_rpm=flat_rpm)
+        if pallas_env_ok:
+            dyn = DynState(pos=flat.pos, quat=flat.quat, vel=flat.vel,
+                           rpy_rates=flat.rpy_rates, ang_v=flat.ang_v)
+            out, _, _ = pallas_env.env_ctrl_step(
+                None, cfg.drone, cfg.physics, n, cfg.steps_per_ctrl,
+                cfg.pyb_dt, cfg.ctrl_dt, cfg.obstacles, dyn, None,
+                flat_rpm, flat.last_rpm)
+            return flat._replace(
+                pos=out.pos, quat=out.quat, vel=out.vel,
+                rpy_rates=out.rpy_rates, ang_v=out.ang_v,
+                last_rpm=flat_rpm)
 
         # XLA fallback: the core substep kernels broadcast over the flat
         # (B*N, k) batch directly for the per-drone physics; downwash and
@@ -112,7 +134,7 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                     s = core._apply_physics_substep(cfg, s, r)
                 return s
             st = jax.vmap(sub)(_unflatten(flat),
-                               flat_rpm.reshape(num_envs, n, 4))
+                               flat_rpm.reshape(-1, n, 4))
             return _flatten(st)
         s = flat
         for _ in range(cfg.steps_per_ctrl):
@@ -126,7 +148,7 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     # PID + substeps) runs as ONE fused Pallas launch (ops/pallas_pid.py).
     # Embedded controllers are always CF2X (QUIRKS.md #2), so the fused
     # path is exact for any dynamics model.
-    fused_pid = (pallas_ok
+    fused_pid = ((pallas_ok or pallas_env_ok)
                  and getattr(task, "act", None) in
                  (ActionType.PID, ActionType.VEL, ActionType.ONE_D_PID)
                  and getattr(task, "_pid_targets", None) is not None)
@@ -141,8 +163,8 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         """action (B, N, A) -> (rpm (B*N, 4), updated flat state)."""
         if not has_flat_pre:
             rpm, view = vmapped_pre(_unflatten_view(flat), action)
-            return rpm.reshape(bn, 4), _flatten(view)
-        a = action.reshape(bn, act_dim)
+            return rpm.reshape(-1, 4), _flatten(view)
+        a = action.reshape(-1, act_dim)
         if buf_len > 0:
             buf = jnp.concatenate(
                 [flat.action_buffer[:, act_dim:], a], axis=-1)
@@ -152,7 +174,7 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
 
     def _post(flat: core.EnvState):
         if has_flat_post:
-            out = task.flat_post(cfg, flat, num_envs, n)
+            out = task.flat_post(cfg, flat, flat.pos.shape[0] // n, n)
             if out is not None:
                 return out
         return vmapped_post(_unflatten_view(flat))
@@ -165,13 +187,32 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         getattr(task, f, 0.0)
         for f in ("reset_pos_noise", "reset_rpy_noise", "reset_vel_noise"))
     if autoreset and not randomized:
-        _keys = jnp.broadcast_to(jax.random.PRNGKey(0), (num_envs, 2))
-        _cs, _cobs, _ = jax.jit(batched_reset)(_keys)
-        const_init_flat, const_init_obs = _flatten(_cs), _cobs
+        # ONE env's reset (leaves (N, ...)); step_fn broadcasts it to the
+        # runtime batch, so the same trace works at any local shard size
+        # (shard_map) and no (B, ...) constants are embedded.
+        _s1, _obs1, _ = jax.jit(
+            lambda: core.reset(cfg, task, dtype=dtype))()
+
+    def _tiled_init(local_bn: int, rng):
+        """Broadcast the single-env reset to a (local_bn, ...) flat state."""
+        lb = local_bn // n
+        t = lambda x: jnp.broadcast_to(
+            x[None], (lb,) + x.shape).reshape((local_bn,) + x.shape[1:])
+        state = _s1._replace(
+            pos=t(_s1.pos), quat=t(_s1.quat), vel=t(_s1.vel),
+            rpy_rates=t(_s1.rpy_rates), ang_v=t(_s1.ang_v),
+            last_rpm=t(_s1.last_rpm),
+            action_buffer=t(_s1.action_buffer).reshape(
+                local_bn, buf_len * act_dim),
+            ctrl_state=jax.tree.map(t, _s1.ctrl_state),
+            step_counter=jnp.zeros((lb,), jnp.int32),
+            rng=rng)
+        obs = jnp.broadcast_to(_obs1[None], (lb,) + _obs1.shape)
+        return state, obs
 
     def _fused_pid_step(flat: core.EnvState, action):
         """Buffer push + targets in XLA, PID + physics in one Pallas call."""
-        a = action.reshape(bn, act_dim)
+        a = action.reshape(-1, act_dim)
         if buf_len > 0:
             buf = jnp.concatenate(
                 [flat.action_buffer[:, act_dim:], a], axis=-1)
@@ -179,9 +220,16 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         tp, trpy, tv, trr = task._pid_targets(cfg, flat, a)
         dyn = DynState(pos=flat.pos, quat=flat.quat, vel=flat.vel,
                        rpy_rates=flat.rpy_rates, ang_v=flat.ang_v)
-        out, new_pid, rpm = pallas_pid.pid_dyn_ctrl_step(
-            CF2X, cfg.drone, dyn, flat.ctrl_state, cfg.steps_per_ctrl,
-            cfg.pyb_dt, cfg.ctrl_dt, tp, trpy, tv, trr)
+        if cfg.physics == Physics.DYN:
+            out, new_pid, rpm = pallas_pid.pid_dyn_ctrl_step(
+                CF2X, cfg.drone, dyn, flat.ctrl_state, cfg.steps_per_ctrl,
+                cfg.pyb_dt, cfg.ctrl_dt, tp, trpy, tv, trr)
+        else:
+            targets = jnp.concatenate([tp, trpy, tv, trr], axis=-1)
+            out, new_pid, rpm = pallas_env.env_ctrl_step(
+                CF2X, cfg.drone, cfg.physics, n, cfg.steps_per_ctrl,
+                cfg.pyb_dt, cfg.ctrl_dt, cfg.obstacles, dyn,
+                flat.ctrl_state, targets, flat.last_rpm)
         return flat._replace(
             pos=out.pos, quat=out.quat, vel=out.vel,
             rpy_rates=out.rpy_rates, ang_v=out.ang_v,
@@ -200,25 +248,54 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         if not autoreset:
             return flat, obs, reward, term, trunc
         done = jnp.logical_or(term, trunc)                     # (B,)
+        local_bn = flat.pos.shape[0]
+        local_b = local_bn // n
         if randomized:
             # per-env re-reset from each env's carried key (randomized
             # tasks re-randomize)
-            init_state, init_obs, _ = batched_reset(flat.rng)
-            init_flat = _flatten(init_state)
+            init_state, init_obs, _ = jax.vmap(
+                lambda k: core.reset(cfg, task, key=k, dtype=dtype))(
+                    flat.rng)
+            r2 = lambda x: x.reshape((local_bn,) + x.shape[2:])
+            init_flat = init_state._replace(
+                pos=r2(init_state.pos), quat=r2(init_state.quat),
+                vel=r2(init_state.vel), rpy_rates=r2(init_state.rpy_rates),
+                ang_v=r2(init_state.ang_v), last_rpm=r2(init_state.last_rpm),
+                action_buffer=init_state.action_buffer.reshape(
+                    local_bn, buf_len * act_dim),
+                ctrl_state=jax.tree.map(r2, init_state.ctrl_state))
         else:
-            # constant re-reset (precomputed); keep the rng carry inert
-            init_flat = const_init_flat._replace(rng=flat.rng)
-            init_obs = const_init_obs
-        done_bn = jnp.broadcast_to(done[:, None], (num_envs, n)).reshape(bn)
+            # constant re-reset (single-env reset broadcast at trace time);
+            # keep the rng carry inert
+            init_flat, init_obs = _tiled_init(local_bn, flat.rng)
+        done_bn = jnp.broadcast_to(done[:, None], (local_b, n)).reshape(
+            local_bn)
 
         def pick(i, nxt):
-            d = done_bn if nxt.shape[:1] == (bn,) else done
+            d = done_bn if nxt.shape[:1] == (local_bn,) else done
             d = d.reshape(d.shape + (1,) * (nxt.ndim - 1))
             return jnp.where(d, i, nxt)
         flat = jax.tree.map(pick, init_flat, flat)
         flat = flat._replace(rng=init_flat.rng)
-        d = done.reshape((num_envs,) + (1,) * (obs.ndim - 1))
+        d = done.reshape((local_b,) + (1,) * (obs.ndim - 1))
         obs = jnp.where(d, init_obs, obs)
         return flat, obs, reward, term, trunc
+
+    if mesh is not None:
+        # Pallas kernels are opaque to the GSPMD partitioner: under a pjit
+        # with sharded inputs they would force gathers (or fail) on a real
+        # multi-chip mesh.  The env step is embarrassingly parallel along
+        # the env axis, so wrap it in shard_map — each device runs the
+        # kernel on its local shard; no collectives are introduced.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+        spec = PartitionSpec(mesh.axis_names[0])
+        inner = step_fn
+
+        def step_fn(flat, action):  # noqa: F811 - sharded wrapper
+            return shard_map(
+                inner, mesh=mesh,
+                in_specs=(spec, spec), out_specs=spec,
+                check_rep=False)(flat, action)
 
     return reset_fn, step_fn

@@ -81,7 +81,7 @@ def _flat_obs(obs):
 
 
 def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
-               dtype=jnp.float32, network=None):
+               dtype=jnp.float32, network=None, mesh=None):
     """Build (init_fn, update_fn, rollout_eval_fn) for PPO on (cfg, task).
 
     update_fn is a pure jittable step: TrainState -> (TrainState, metrics);
@@ -89,6 +89,10 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     (parallel.make_sharded_update).  `network` overrides the policy module;
     by default RGB observations get the NatureCNN actor-critic and KIN
     observations the SB3-style MLP.
+
+    mesh: pass the device mesh when training sharded — the env step is then
+    wrapped in shard_map so the Pallas physics kernels partition along the
+    env axis instead of being gathered by GSPMD (see envs/fast.py).
     """
     n_drones = env_cfg.num_drones
     act_dim_per_drone = task.action_dim(env_cfg)
@@ -105,7 +109,7 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     # otherwise (envs/fast.py falls back transparently)
     from gym_pybullet_drones_tpu.envs.fast import make_batched_step
     batched_reset, batched_step = make_batched_step(
-        env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype)
+        env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype, mesh=mesh)
 
     if ppo.anneal_lr:
         total_opt_steps = (ppo.num_updates * ppo.update_epochs

@@ -45,6 +45,25 @@ def test_pallas_matches_xla_ctrl_step():
             rtol=2e-5, atol=2e-5, err_msg=name)
 
 
+def test_pallas_matches_xla_cf2p_and_race():
+    """Model-dependent torque composition (CF2P mixer arms, RACE z-sign)."""
+    for model in (P.CF2P, P.RACE):
+        B = 4
+        st, rng = _rand_state(B, seed=11)
+        rpm = jnp.asarray(
+            model.hover_rpm * (1 + 0.02 * rng.normal(size=(B, 4))),
+            jnp.float32)
+        ref = st
+        for _ in range(4):
+            ref = dyn_step(model, ref, rpm, DT)
+        out = pallas_dyn.dyn_ctrl_step(model, st, 4, DT, rpm)
+        for name in ("pos", "quat", "vel", "rpy_rates"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=2e-5, atol=2e-5, err_msg=f"{model.model}:{name}")
+
+
 def test_pallas_zero_omega_branch():
     model = P.CF2X
     st = DynState(pos=jnp.zeros((4, 3), jnp.float32),
@@ -217,6 +236,91 @@ def test_fast_ctrl_task_flat_post():
         cstate, obs3, r3 = vstep(cstate, a)
         np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
                                    rtol=3e-5, atol=3e-5)
+
+
+def _compare_fast_vs_core(cfg, task, B, adim, steps=3, seed=2,
+                          scale=1.0, rtol=3e-4, atol=5e-4):
+    from gym_pybullet_drones_tpu.envs import core
+    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    state, obs = reset_fn(seed=0)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    cstate, cobs, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(cobs))
+    vstep = jax.vmap(lambda s, a: core.step_autoreset(cfg, task, s, a))
+    rng = np.random.default_rng(seed)
+    for _ in range(steps):
+        a = jnp.asarray(scale * rng.normal(size=(B, cfg.num_drones, adim)),
+                        jnp.float32)
+        state, o2, r2, te2, tr2 = step_fn(state, a)
+        cstate, o3, r3, te3, tr3, _ = vstep(cstate, a)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o3),
+                                   rtol=rtol, atol=atol)
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(r3),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_env_pyb_rpm_matches_core():
+    """Envs-in-lanes kernel: PYB physics + contact, RPM actions, N=2.
+
+    240/120 Hz -> 2 substeps: interpret-mode execution of the unrolled
+    kernel is expensive on CPU; 2 substeps already cover the cross-substep
+    (stale-drag, contact-after-integrate) semantics.
+    """
+    from gym_pybullet_drones_tpu.envs import MultiHoverTask
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=2, physics=Physics.PYB,
+                       pyb_freq=240, ctrl_freq=120)
+    _compare_fast_vs_core(cfg, MultiHoverTask(act=ActionType.RPM), 2, 4,
+                          steps=2, scale=0.05)
+
+
+def test_pallas_env_all_aero_matches_core():
+    """PYB_GND_DRAG_DW: ground effect + stale-action drag + downwash."""
+    from gym_pybullet_drones_tpu.envs import MultiHoverTask
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=2,
+                       physics=Physics.PYB_GND_DRAG_DW,
+                       pyb_freq=240, ctrl_freq=120,
+                       init_xyzs=((0.0, 0.0, 0.08), (0.02, 0.0, 0.6)))
+    _compare_fast_vs_core(cfg, MultiHoverTask(act=ActionType.RPM), 2, 4,
+                          steps=2, scale=0.05)
+
+
+def test_pallas_env_pyb_pid_routing_matches_core():
+    """Routing's DEFAULT config (PYB + embedded PID) through the fused
+    envs-in-lanes kernel."""
+    from gym_pybullet_drones_tpu.envs.routing import make_routing_config
+    cfg, task = make_routing_config(num_drones=2, ctrl_freq=120)
+    _compare_fast_vs_core(cfg, task, 2, 3, steps=2, rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_env_obstacle_matches_core():
+    """Static obstacle pushout inside the kernel vs the XLA core path."""
+    from gym_pybullet_drones_tpu.envs.tasks import CtrlTask
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                       pyb_freq=240, ctrl_freq=120,
+                       init_xyzs=((0.0, 1.82, 0.5),),
+                       obstacles=((0.0, 2.0, 0.5, 0.1),))
+    task = CtrlTask()
+    from gym_pybullet_drones_tpu.envs import core
+    B = 2
+    reset_fn, step_fn = make_batched_step(cfg, task, B, autoreset=False)
+    state, _ = reset_fn()
+    state = state._replace(
+        vel=jnp.tile(jnp.asarray([[0.0, 1.5, 0.0]], jnp.float32), (B, 1)))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    cstate, _, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
+    cstate = cstate._replace(
+        vel=jnp.tile(jnp.asarray([[[0.0, 1.5, 0.0]]], jnp.float32),
+                     (B, 1, 1)))
+    vstep = jax.vmap(lambda s, a: core.step(cfg, task, s, a)[0])
+    rpm = jnp.full((B, 1, 4), P.CF2X.hover_rpm, jnp.float32)
+    stepper = jax.jit(lambda s: step_fn(s, rpm)[0])
+    for _ in range(12):
+        state = stepper(state)
+        cstate = vstep(cstate, rpm)
+    np.testing.assert_allclose(np.asarray(state.pos),
+                               np.asarray(cstate.pos.reshape(B, 3)),
+                               rtol=1e-4, atol=1e-4)
+    assert float(state.pos[0, 1]) < 2.0  # stopped at the obstacle
 
 
 def test_fast_batched_step_multidrone():

@@ -89,6 +89,25 @@ def test_sharded_update_on_cpu_mesh():
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_sharded_update_with_shard_mapped_env_step():
+    """mesh= passed to make_train: the env step runs under shard_map (the
+    layout Pallas kernels need to partition on real multi-chip meshes)."""
+    assert len(jax.devices()) == 8
+    cfg, task, ppo = _setup(num_envs=16, rollout=8)
+    mesh = make_mesh()
+    init, update, evaluate, _ = make_train(cfg, task, ppo, mesh=mesh)
+    ts = shard_train_state(init(jax.random.key(4)), mesh)
+    sharded_update = make_sharded_update(update, mesh)
+    ts2, metrics = sharded_update(ts)
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert len(ts2.env_state.pos.sharding.device_set) == 8
+    # same math as the unsharded path
+    init_u, update_u, _, _ = make_train(cfg, task, ppo)
+    ts_u, m_u = jax.jit(update_u)(init_u(jax.random.key(4)))
+    np.testing.assert_allclose(float(metrics["mean_reward"]),
+                               float(m_u["mean_reward"]), rtol=1e-4)
+
+
 def test_ppo_rgb_observations_update():
     """PPO runs on ray-traced RGB observations (NatureCNN policy)."""
     from gym_pybullet_drones_tpu.utils.enums import ObservationType
