@@ -75,13 +75,19 @@ class CFAviary(FunctionalAviary):
         self._mellinger = jax.jit(
             lambda st, sp, pos, vel, quat, gyro: fw.mellinger_control(
                 st, sp, pos, vel, quat, gyro, self.firmware_dt))
-        # 'pid' controller option: the firmware PID cascade is the ancestor
-        # of the DSL PID (reference CFAviary CONTROLLER='pid' path,
-        # :157-159,401-408); here it maps onto the batched DSL PID running
-        # at the firmware attitude rate.
+        # CONTROLLER options:
+        # - 'mellinger' (default): control/firmware.mellinger_control
+        # - 'pid': the firmware controller_pid cascade
+        #   (control/firmware_pid.py — reference CFAviary CONTROLLER='pid'
+        #   path, :157-159,401-408, firm.controllerPid); position loop at
+        #   100 Hz, attitude+rate loops at the firmware rate
+        # - 'dsl': the DSL PID (this repo's extra option)
         from gym_pybullet_drones_tpu.control import dsl_pid as _dsl
+        from gym_pybullet_drones_tpu.control import firmware_pid as _fwpid
         self._dsl = _dsl
+        self._fwpid = _fwpid
         self._pid_state = _dsl.init_state((), jnp.float32)
+        self._fwpid_state = _fwpid.init_state()
         self._reset_firmware()
 
     # ------------------------------------------------------------------
@@ -98,6 +104,7 @@ class CFAviary(FunctionalAviary):
         self._gyro_lpf = fw.lpf2p_init((3,))
 
         self.fw_state = fw.firmware_init()
+        self._fwpid_state = self._fwpid.init_state()
         self.commander = HighLevelCommander()
         self.command_queue: list = []
         self.full_state_cmd_override = True
@@ -181,6 +188,29 @@ class CFAviary(FunctionalAviary):
                 continue
 
             if self.CONTROLLER == "pid":
+                # firmware controller_pid scheduling (reference
+                # CFAviary.py:388-398): position loop at 100 Hz, attitude
+                # + rate loops at every firmware tick
+                fs = self._fwpid_state
+                rpy_deg = cur_rpy * RAD_TO_DEG
+                if self.tick % max(1, self.firmware_freq // 100) == 0:
+                    fs = self._fwpid.position_controller(
+                        fs, 1.0 / 100.0,
+                        jnp.asarray(cur_pos, jnp.float32),
+                        jnp.asarray(cur_vel, jnp.float32),
+                        jnp.asarray(rpy_deg[2], jnp.float32),
+                        self._setpoint.position)
+                if self.tick % max(1, self.firmware_freq // 500) == 0:
+                    sp_yaw_deg = float(np.degrees(np.asarray(
+                        quat_ops.quat_to_rpy(self._setpoint.quat))[2]))
+                    control, fs = self._fwpid.attitude_rate_controller(
+                        fs, 1.0 / 500.0,
+                        jnp.asarray(rpy_deg, jnp.float32), gyro_f,
+                        jnp.asarray(sp_yaw_deg, jnp.float32))
+                    self.pwms = np.asarray(fw.power_distribution(
+                        jnp.stack(control), self.QUAD_FORMATION_X))
+                self._fwpid_state = fs
+            elif self.CONTROLLER == "dsl":
                 rpm_cmd, self._pid_state, _, _ = self._dsl.compute_control(
                     self.cfg.drone, self._pid_state, self.firmware_dt,
                     jnp.asarray(cur_pos, jnp.float32),

@@ -114,7 +114,8 @@ def test_ctbr2beta_channels():
 
 
 def test_cf_aviary_pid_controller_variant():
-    """CONTROLLER='pid' subclass flies a hover via the DSL-PID cascade."""
+    """CONTROLLER='pid' flies a climb via the firmware controller_pid
+    cascade (control/firmware_pid.py)."""
     import numpy as np
     from gym_pybullet_drones_tpu.envs.cf_aviary import CFAviary
 
@@ -129,6 +130,14 @@ def test_cf_aviary_pid_controller_variant():
     for i in range(50):  # 2 s
         obs, *_ = env.step(i)
     assert abs(float(obs[0][2]) - 0.8) < 0.15
+    # lateral waypoint: exercises the position->attitude yaw rotation and
+    # the control_t pitch/yaw sign mapping (firmware_pid module docstring)
+    env.sendFullStateCmd([0.4, -0.3, 0.8], np.zeros(3), np.zeros(3), 0.0,
+                         np.zeros(3), 2.0)
+    for i in range(50, 150):  # 4 more seconds
+        obs, *_ = env.step(i)
+    pos = np.asarray(obs[0][0:3])
+    assert np.linalg.norm(pos - [0.4, -0.3, 0.8]) < 0.15, pos
 
 
 def test_beta_aviary_native_bridge():
