@@ -41,37 +41,50 @@ def main():
     def one_step(carry, action):
         state = carry
         state, obs, r, te, tr = step_fn(state, action)
-        return state, r
+        # fold the observation into the scan output so XLA cannot
+        # dead-code-eliminate the per-step obs computation (the reference
+        # env.step returns an observation every control step)
+        return state, r + 1e-30 * jnp.sum(obs)
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def rollout(state, actions, n):
-        return jax.lax.scan(
-            lambda s, a: one_step(s, a), state, actions[:n])
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def rollout(state, actions, n, repeats):
+        # inner scan over the action sequence; outer scan re-plays it
+        # `repeats` times so one device launch covers n*repeats control
+        # steps (the remote-dispatch cost is a tunnel artifact, not sim
+        # work — every step still executes on-device)
+        def once(s, _):
+            s, r = jax.lax.scan(one_step, s, actions[:n])
+            return s, jnp.sum(r)
+        return jax.lax.scan(once, state, None, length=repeats)
 
     key = jax.random.key(0)
     base_actions = 0.1 * jax.random.normal(
         key, (2048, NUM_ENVS, 1, 4), jnp.float32)
 
     # warmup / compile at the small chunk
-    chunk = 128
-    state, rew = rollout(state, base_actions, chunk)
+    chunk, repeats = 128, 1
+    state, rew = rollout(state, base_actions, chunk, repeats)
     float(jnp.sum(rew))
 
     best = 0.0
     t_start = time.perf_counter()
     while time.perf_counter() - t_start < TIME_BUDGET_S:
         t0 = time.perf_counter()
-        state, rew = rollout(state, base_actions, chunk)
+        state, rew = rollout(state, base_actions, chunk, repeats)
         float(jnp.sum(rew))  # host readback: forces full completion
         dt = time.perf_counter() - t0
-        best = max(best, NUM_ENVS * chunk / dt)
-        # healthy chip: grow the chunk to amortize per-call overhead
+        best = max(best, NUM_ENVS * chunk * repeats / dt)
+        # healthy chip: grow the per-launch work to amortize call overhead
         if dt < 5.0 and chunk < 2048:
             chunk *= 4
-            state, rew = rollout(state, base_actions, chunk)  # recompile
-            float(jnp.sum(rew))
+        elif dt < 5.0 and repeats < 16:
+            repeats *= 4
+        else:
+            continue
+        state, rew = rollout(state, base_actions, chunk, repeats)
+        float(jnp.sum(rew))  # recompile outside the timed window
 
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_hover4096",

@@ -28,7 +28,8 @@ def _bench_env(cfg, task, num_envs, chunk=1024, repeats=3, act_dim=4):
 
     def one_step(carry, action):
         state, obs, r, te, tr = step_fn(carry, action)
-        return state, r
+        # keep the obs computation live (see bench.py)
+        return state, r + 1e-30 * jnp.sum(obs)
 
     @jax.jit
     def rollout(state, actions):

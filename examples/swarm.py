@@ -53,7 +53,9 @@ def run(num_envs=4096, num_drones=4, duration_sec=8, render_frame=True,
     float(jnp.sum(rewards))  # force completion
     dt = time.perf_counter() - t0
     total_drones = num_envs * num_drones
-    err = jnp.linalg.norm(state.pos - dests[None], axis=-1)
+    # the fast-path carry is flattened (envs*drones, 3)
+    err = jnp.linalg.norm(
+        state.pos - jnp.tile(dests, (num_envs, 1)), axis=-1)
     arrived = float(jnp.mean(err < 0.15))
     print(f"[RESULT] {num_envs} envs x {num_drones} drones "
           f"({total_drones} drones) x {n_steps} ctrl steps in {dt:.2f}s "
@@ -75,8 +77,8 @@ def run(num_envs=4096, num_drones=4, duration_sec=8, render_frame=True,
         rot = np.stack([fwd, -right, up], axis=-1).astype(np.float32)
         rgba, _, _ = render.render(cfg.drone, render.empty_scene(),
                                    jnp.asarray(eye), jnp.asarray(rot),
-                                   drone_pos=state.pos[0], width=320,
-                                   height=240)
+                                   drone_pos=state.pos[:num_drones],
+                                   width=320, height=240)
         os.makedirs(output_folder, exist_ok=True)
         out = f"{output_folder}/swarm_frame.png"
         Image.fromarray(np.asarray(rgba).astype("uint8"), "RGBA").save(out)

@@ -43,7 +43,8 @@ from gym_pybullet_drones_tpu.ops.dynamics import DynState
 
 def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                       use_pallas: bool = True, autoreset: bool = True,
-                      dtype=jnp.float32, mesh=None):
+                      dtype=jnp.float32, mesh=None,
+                      obs_layout: str = "drone"):
     """Build step_fn over batched EnvState with a flattened (B*N, ...) carry.
 
     Returns (reset_fn, step_fn); reset_fn(seed) -> (state, obs);
@@ -54,7 +55,15 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     along the mesh's first axis (env-batch data parallelism; num_envs must
     divide evenly).  Required for the Pallas kernels to partition instead
     of gathering on real multi-chip meshes.
+
+    obs_layout: "drone" -> obs (B, N, D) (reference per-drone layout);
+    "flat" -> obs (B, N*D).  TPU tiles the trailing two dims of every
+    buffer to (8, 128), so for small N the 3-D form pads ~N/8-fold and is
+    relayout-copied every step — learners that flatten anyway (rl/ppo.py)
+    should ask for "flat".
     """
+    if obs_layout not in ("drone", "flat"):
+        raise ValueError(f"unknown obs_layout {obs_layout!r}")
     n = cfg.num_drones
     bn = num_envs * n
     buf_len, act_dim = task.action_buffer_shape(cfg)
@@ -96,30 +105,60 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     def reset_fn(seed: int = 0):
         keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
         state, obs, _ = batched_reset(keys)
+        if obs_layout == "flat" and obs.ndim == 3:
+            obs = obs.reshape(obs.shape[0], -1)
         return _flatten(state), obs
 
+    def _finalize_obs(obs):
+        """Flat-hook 2-D obs (B*N, D) -> the requested output layout."""
+        if obs.ndim != 2:
+            return obs  # vmapped fallback already returns (B, N, ...)
+        lb = obs.shape[0] // n
+        if obs_layout == "drone":
+            return obs.reshape(lb, n, obs.shape[1])
+        return obs.reshape(lb, n * obs.shape[1])
+
+    # request the kernel-emitted 12-dim obs block when the task's flat
+    # post-processing consumes it (KIN observations)
+    from gym_pybullet_drones_tpu.utils.enums import ObservationType
+    want_obs12 = (getattr(task, "obs", None) == ObservationType.KIN)
+
     def _physics(flat: core.EnvState, flat_rpm: jnp.ndarray):
-        """Advance the physics on the flattened carry."""
+        """Advance the physics on the flattened carry -> (state, obs12|None)."""
         if pallas_ok:
             dyn = DynState(pos=flat.pos, quat=flat.quat, vel=flat.vel,
                            rpy_rates=flat.rpy_rates, ang_v=flat.ang_v)
-            out = pallas_dyn.dyn_ctrl_step(
-                cfg.drone, dyn, cfg.steps_per_ctrl, cfg.pyb_dt, flat_rpm)
+            obs12 = None
+            if want_obs12:
+                out, obs12 = pallas_dyn.dyn_ctrl_step(
+                    cfg.drone, dyn, cfg.steps_per_ctrl, cfg.pyb_dt,
+                    flat_rpm, True)
+            else:
+                out = pallas_dyn.dyn_ctrl_step(
+                    cfg.drone, dyn, cfg.steps_per_ctrl, cfg.pyb_dt,
+                    flat_rpm)
             return flat._replace(
                 pos=out.pos, quat=out.quat, vel=out.vel,
                 rpy_rates=out.rpy_rates, ang_v=out.ang_v,
-                last_rpm=flat_rpm)
+                last_rpm=flat_rpm), obs12
         if pallas_env_ok:
             dyn = DynState(pos=flat.pos, quat=flat.quat, vel=flat.vel,
                            rpy_rates=flat.rpy_rates, ang_v=flat.ang_v)
-            out, _, _ = pallas_env.env_ctrl_step(
-                None, cfg.drone, cfg.physics, n, cfg.steps_per_ctrl,
-                cfg.pyb_dt, cfg.ctrl_dt, cfg.obstacles, dyn, None,
-                flat_rpm, flat.last_rpm)
+            obs12 = None
+            if want_obs12:
+                out, _, _, obs12 = pallas_env.env_ctrl_step(
+                    None, cfg.drone, cfg.physics, n, cfg.steps_per_ctrl,
+                    cfg.pyb_dt, cfg.ctrl_dt, cfg.obstacles, dyn, None,
+                    flat_rpm, flat.last_rpm, True)
+            else:
+                out, _, _ = pallas_env.env_ctrl_step(
+                    None, cfg.drone, cfg.physics, n, cfg.steps_per_ctrl,
+                    cfg.pyb_dt, cfg.ctrl_dt, cfg.obstacles, dyn, None,
+                    flat_rpm, flat.last_rpm)
             return flat._replace(
                 pos=out.pos, quat=out.quat, vel=out.vel,
                 rpy_rates=out.rpy_rates, ang_v=out.ang_v,
-                last_rpm=flat_rpm)
+                last_rpm=flat_rpm), obs12
 
         # XLA fallback: the core substep kernels broadcast over the flat
         # (B*N, k) batch directly for the per-drone physics; downwash and
@@ -135,11 +174,11 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                 return s
             st = jax.vmap(sub)(_unflatten(flat),
                                flat_rpm.reshape(-1, n, 4))
-            return _flatten(st)
+            return _flatten(st), None
         s = flat
         for _ in range(cfg.steps_per_ctrl):
             s = core._apply_physics_substep(cfg, s, flat_rpm)
-        return s
+        return s, None
 
     # ---- task pre/post: flat hooks with vmapped fallback ----
     has_flat_post = getattr(task, "flat_post", None) is not None
@@ -172,9 +211,10 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         rpm, flat = task._map_to_rpm(cfg, flat, a)
         return rpm, flat
 
-    def _post(flat: core.EnvState):
+    def _post(flat: core.EnvState, obs12=None):
         if has_flat_post:
-            out = task.flat_post(cfg, flat, flat.pos.shape[0] // n, n)
+            out = task.flat_post(cfg, flat, flat.pos.shape[0] // n, n,
+                                 obs12=obs12)
             if out is not None:
                 return out
         return vmapped_post(_unflatten_view(flat))
@@ -220,33 +260,48 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         tp, trpy, tv, trr = task._pid_targets(cfg, flat, a)
         dyn = DynState(pos=flat.pos, quat=flat.quat, vel=flat.vel,
                        rpy_rates=flat.rpy_rates, ang_v=flat.ang_v)
+        obs12 = None
         if cfg.physics == Physics.DYN:
-            out, new_pid, rpm = pallas_pid.pid_dyn_ctrl_step(
-                CF2X, cfg.drone, dyn, flat.ctrl_state, cfg.steps_per_ctrl,
-                cfg.pyb_dt, cfg.ctrl_dt, tp, trpy, tv, trr)
+            if want_obs12:
+                out, new_pid, rpm, obs12 = pallas_pid.pid_dyn_ctrl_step(
+                    CF2X, cfg.drone, dyn, flat.ctrl_state,
+                    cfg.steps_per_ctrl, cfg.pyb_dt, cfg.ctrl_dt,
+                    tp, trpy, tv, trr, True)
+            else:
+                out, new_pid, rpm = pallas_pid.pid_dyn_ctrl_step(
+                    CF2X, cfg.drone, dyn, flat.ctrl_state,
+                    cfg.steps_per_ctrl, cfg.pyb_dt, cfg.ctrl_dt,
+                    tp, trpy, tv, trr)
         else:
             targets = jnp.concatenate([tp, trpy, tv, trr], axis=-1)
-            out, new_pid, rpm = pallas_env.env_ctrl_step(
-                CF2X, cfg.drone, cfg.physics, n, cfg.steps_per_ctrl,
-                cfg.pyb_dt, cfg.ctrl_dt, cfg.obstacles, dyn,
-                flat.ctrl_state, targets, flat.last_rpm)
+            if want_obs12:
+                out, new_pid, rpm, obs12 = pallas_env.env_ctrl_step(
+                    CF2X, cfg.drone, cfg.physics, n, cfg.steps_per_ctrl,
+                    cfg.pyb_dt, cfg.ctrl_dt, cfg.obstacles, dyn,
+                    flat.ctrl_state, targets, flat.last_rpm, True)
+            else:
+                out, new_pid, rpm = pallas_env.env_ctrl_step(
+                    CF2X, cfg.drone, cfg.physics, n, cfg.steps_per_ctrl,
+                    cfg.pyb_dt, cfg.ctrl_dt, cfg.obstacles, dyn,
+                    flat.ctrl_state, targets, flat.last_rpm)
         return flat._replace(
             pos=out.pos, quat=out.quat, vel=out.vel,
             rpy_rates=out.rpy_rates, ang_v=out.ang_v,
-            last_rpm=rpm, ctrl_state=new_pid)
+            last_rpm=rpm, ctrl_state=new_pid), obs12
 
     def step_fn(flat: core.EnvState, action):
         action = jnp.asarray(action, flat.pos.dtype)
+        obs12 = None
         if fused_pid:
-            flat = _fused_pid_step(flat, action)
+            flat, obs12 = _fused_pid_step(flat, action)
         else:
             rpm, flat = _pre(flat, action)
-            flat = _physics(flat, rpm)
+            flat, obs12 = _physics(flat, rpm)
         flat = flat._replace(
             step_counter=flat.step_counter + cfg.steps_per_ctrl)
-        obs, reward, term, trunc = _post(flat)
+        obs, reward, term, trunc = _post(flat, obs12)
         if not autoreset:
-            return flat, obs, reward, term, trunc
+            return flat, _finalize_obs(obs), reward, term, trunc
         done = jnp.logical_or(term, trunc)                     # (B,)
         local_bn = flat.pos.shape[0]
         local_b = local_bn // n
@@ -277,9 +332,14 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
             return jnp.where(d, i, nxt)
         flat = jax.tree.map(pick, init_flat, flat)
         flat = flat._replace(rng=init_flat.rng)
-        d = done.reshape((local_b,) + (1,) * (obs.ndim - 1))
-        obs = jnp.where(d, init_obs, obs)
-        return flat, obs, reward, term, trunc
+        if obs.ndim == 2:
+            # flat-hook obs (B*N, D): select per flattened row, lay out last
+            obs = jnp.where(done_bn[:, None],
+                            init_obs.reshape(local_bn, obs.shape[1]), obs)
+        else:
+            d = done.reshape((local_b,) + (1,) * (obs.ndim - 1))
+            obs = jnp.where(d, init_obs, obs)
+        return flat, _finalize_obs(obs), reward, term, trunc
 
     if mesh is not None:
         # Pallas kernels are opaque to the GSPMD partitioner: under a pjit

@@ -96,9 +96,14 @@ class RoutingTask(RLTask):
         diff = pos[:, None, :, :] - pos[:, :, None, :]         # (B, n, i, 3)
         dist = jnp.linalg.norm(diff, axis=-1)
         dist = dist + jnp.eye(n, dtype=dist.dtype) * 1e9
-        nearest = jnp.argmin(dist, axis=-1)                    # (B, n)
-        nn_vec = jnp.take_along_axis(
-            diff, nearest[..., None, None].repeat(3, -1), axis=2)[:, :, 0, :]
+        # nearest-neighbor displacement via a one-hot masked sum: gathers
+        # (argmin + take_along_axis) serialize badly on the TPU vector
+        # unit, a one-hot contraction is a plain elementwise+reduce
+        is_min = (dist == jnp.min(dist, axis=-1, keepdims=True))
+        # break ties toward the lowest index (sum would double-count)
+        first = jnp.cumsum(is_min.astype(dist.dtype), axis=-1) <= 1.0
+        one_hot = (is_min & first).astype(dist.dtype)
+        nn_vec = jnp.sum(diff * one_hot[..., None], axis=2)    # (B, n, 3)
         return jnp.concatenate(
             [goal_vec, nn_vec.reshape(b * n, 3)], axis=-1)
 

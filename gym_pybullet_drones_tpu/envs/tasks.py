@@ -69,16 +69,18 @@ class CtrlTask:
     def compute_truncated(self, cfg, state):
         return jnp.asarray(False)
 
-    def flat_post(self, cfg, flat: EnvState, num_envs: int, num_drones: int):
+    def flat_post(self, cfg, flat: EnvState, num_envs: int, num_drones: int,
+                  obs12=None):
         """Batched post-processing on the FLATTENED (B*N, k) state.
 
-        Returns (obs (B, N, D), reward (B,), term (B,), trunc (B,)) or None
+        Returns (obs (B*N, D) 2-D, reward (B,), term (B,), trunc (B,)) or None
         to make envs/fast.py fall back to the vmapped per-env methods.
         Semantics must match compute_obs/_reward/_terminated/_truncated
-        (cross-checked in tests/test_pallas.py).
+        (cross-checked in tests/test_pallas.py).  `obs12` is the optional
+        kernel-emitted kinematic block (unused by this 20-dim obs task).
         """
-        b, n = num_envs, num_drones
-        obs = state_vector(flat).reshape(b, n, 20)
+        b = num_envs
+        obs = state_vector(flat)                      # (B*N, 20)
         dtype = flat.pos.dtype
         return (obs, jnp.full((b,), -1.0, dtype),
                 jnp.zeros((b,), bool), jnp.zeros((b,), bool))
@@ -256,20 +258,24 @@ class RLTask:
     # drones instead of per drone) and reduce over the drone axis via a
     # cheap (B, N) reshape.  Equivalence is asserted in tests/test_pallas.py.
 
-    def flat_post(self, cfg, flat: EnvState, num_envs: int, num_drones: int):
+    def flat_post(self, cfg, flat: EnvState, num_envs: int, num_drones: int,
+                  obs12=None):
         if self.obs == ObservationType.RGB:
             return None  # renderer path: fall back to the vmapped methods
         b, n = num_envs, num_drones
-        rpy = quat_ops.quat_to_rpy(flat.quat)                  # (B*N, 3)
-        obs12 = jnp.concatenate(
-            [flat.pos, rpy, flat.vel, flat.ang_v], axis=-1)
+        if obs12 is None:
+            rpy = quat_ops.quat_to_rpy(flat.quat)              # (B*N, 3)
+            obs12 = jnp.concatenate(
+                [flat.pos, rpy, flat.vel, flat.ang_v], axis=-1)
+        else:
+            rpy = obs12[:, 3:6]  # kernel-emitted Euler block
         buf, adim = self.action_buffer_shape(cfg)
         hist = flat.action_buffer.reshape(b * n, buf * adim)
         cols = [obs12, hist]
         extra = self.flat_extra_obs(cfg, flat, num_envs, num_drones)
         if extra is not None:
             cols.append(extra)
-        obs = jnp.concatenate(cols, axis=-1).reshape(b, n, -1)
+        obs = jnp.concatenate(cols, axis=-1)          # (B*N, D)
         reward, term, trunc = self.flat_reward_done(
             cfg, flat, rpy, num_envs, num_drones)
         return obs, reward, term, trunc

@@ -126,7 +126,7 @@ def _dyn_substeps(params: DroneParams, n_substeps: int, dt: float,
 
 
 def _kernel(params: DroneParams, n_substeps: int, dt: float,
-            s_ref, rpm_ref, o_ref):
+            emit_obs12: bool, s_ref, rpm_ref, o_ref, *obs_ref):
     # load rows as (1, B) vectors
     state_rows = tuple(s_ref[i:i + 1, :] for i in range(13))
     r0, r1, r2, r3 = (rpm_ref[i:i + 1, :] for i in range(4))
@@ -135,6 +135,15 @@ def _kernel(params: DroneParams, n_substeps: int, dt: float,
                         thrust, x_t, y_t, z_t)
     for i, row in enumerate(out):
         o_ref[i:i + 1, :] = row
+    if emit_obs12:
+        # the 12-dim kinematic observation block of the RL tasks
+        # (pos, rpy, vel, world ang-vel — envs/tasks.RLTask.flat_post),
+        # with the Euler extraction fused in-kernel (pallas_math)
+        from gym_pybullet_drones_tpu.ops import pallas_math
+        roll, pitch, yaw = pallas_math.quat_rpy_rows(*out[3:7])
+        rows12 = out[0:3] + (roll, pitch, yaw) + out[7:10] + out[13:16]
+        for i, row in enumerate(rows12):
+            obs_ref[0][i:i + 1, :] = row
 
 
 def _pack(state):
@@ -152,13 +161,16 @@ def _unpack(packed, state):
         rpy_rates=flat[:, 10:13], ang_v=flat[:, 13:16])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5))
 def dyn_ctrl_step(params: DroneParams, state, n_substeps: int, dt: float,
-                  rpm):
+                  rpm, emit_obs12: bool = False):
     """Run n_substeps DYN substeps fused in one Pallas launch.
 
     state: any NamedTuple with pos/quat/vel/rpy_rates/ang_v of shape (B, k)
-    (flattened env*drone batch); rpm: (B, 4).  Returns the updated state.
+    (flattened env*drone batch); rpm: (B, 4).  Returns the updated state,
+    or (state, obs12 (B, 12)) when emit_obs12 — the RL tasks' kinematic
+    observation block computed in-kernel (saves the XLA-side Euler
+    extraction and concat in the hot loop).
     """
     b = state.pos.shape[0]
     pad = (-b) % LANE
@@ -171,12 +183,19 @@ def dyn_ctrl_step(params: DroneParams, state, n_substeps: int, dt: float,
     block = min(bp, 2048)
     if bp % block:
         block = LANE
+    out_shape = [jax.ShapeDtypeStruct((16, bp), packed.dtype)]
+    out_specs = [pl.BlockSpec((16, block), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    if emit_obs12:
+        out_shape.append(jax.ShapeDtypeStruct((12, bp), packed.dtype))
+        out_specs.append(pl.BlockSpec((12, block), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
     # off-TPU backends (tests) run the kernel in interpreter mode
     interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
-        functools.partial(_kernel, params, n_substeps, dt),
+    outs = pl.pallas_call(
+        functools.partial(_kernel, params, n_substeps, dt, emit_obs12),
         interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((16, bp), packed.dtype),
+        out_shape=out_shape,
         grid=(bp // block,),
         in_specs=[
             pl.BlockSpec((16, block), lambda i: (0, i),
@@ -184,9 +203,15 @@ def dyn_ctrl_step(params: DroneParams, state, n_substeps: int, dt: float,
             pl.BlockSpec((4, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((16, block), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )(packed, rpm_t)
+    if not emit_obs12:
+        out = outs[0]
+        if pad:
+            out = out[:, :b]
+        return _unpack(out, state)
+    out, obs12 = outs
     if pad:
         out = out[:, :b]
-    return _unpack(out, state)
+        obs12 = obs12[:, :b]
+    return _unpack(out, state), obs12.T

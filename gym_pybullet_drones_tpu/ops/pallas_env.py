@@ -275,7 +275,7 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
 
 def _kernel(pid_params, dyn_params: DroneParams, physics: Physics,
             n_drones: int, n_substeps: int, pyb_dt: float, ctrl_dt: float,
-            obstacles, *refs):
+            obstacles, emit_obs12: bool, *refs):
     use_pid = pid_params is not None
     drag = physics in _DRAG_MODES
     i = 0
@@ -288,6 +288,8 @@ def _kernel(pid_params, dyn_params: DroneParams, physics: Physics,
     os_ref = refs[i]; i += 1
     orpm_ref = refs[i]; i += 1
     opid_ref = refs[i] if use_pid else None
+    i += use_pid
+    obs_ref = refs[i] if emit_obs12 else None
 
     n = n_drones
     state = [[s_ref[d * S_ROWS + k:d * S_ROWS + k + 1, :]
@@ -311,15 +313,12 @@ def _kernel(pid_params, dyn_params: DroneParams, physics: Physics,
 
     # ---- physics ----
     if physics == Physics.DYN:
-        outs = []
+        final = []
         for d in range(n):
             thrust, xt, yt, zt = pallas_dyn._motor_mix(dyn_params, *rpm[d])
-            outs.append(pallas_dyn._dyn_substeps(
+            final.append(tuple(pallas_dyn._dyn_substeps(
                 dyn_params, n_substeps, pyb_dt, tuple(state[d][:13]),
-                thrust, xt, yt, zt))
-        for d in range(n):
-            for k, row in enumerate(outs[d]):
-                os_ref[d * S_ROWS + k:d * S_ROWS + k + 1, :] = row
+                thrust, xt, yt, zt)))
     else:
         drones = [{"p": list(state[d][0:3]), "q": list(state[d][3:7]),
                    "v": list(state[d][7:10]), "w": list(state[d][13:16])}
@@ -333,11 +332,19 @@ def _kernel(pid_params, dyn_params: DroneParams, physics: Physics,
             drag_rpm = (last if (drag and step_i == 0) else rpm)
             _pyb_substep_all(dyn_params, physics, pyb_dt, obstacles,
                              drones, rpm, drag_rpm)
-        for d in range(n):
-            rows = (drones[d]["p"] + drones[d]["q"] + drones[d]["v"]
-                    + list(state[d][10:13]) + drones[d]["w"])
-            for k, row in enumerate(rows):
-                os_ref[d * S_ROWS + k:d * S_ROWS + k + 1, :] = row
+        final = [tuple(drones[d]["p"] + drones[d]["q"] + drones[d]["v"]
+                       + list(state[d][10:13]) + drones[d]["w"])
+                 for d in range(n)]
+    for d in range(n):
+        for k, row in enumerate(final[d]):
+            os_ref[d * S_ROWS + k:d * S_ROWS + k + 1, :] = row
+        if emit_obs12:
+            from gym_pybullet_drones_tpu.ops import pallas_math
+            roll, pitch, yaw = pallas_math.quat_rpy_rows(*final[d][3:7])
+            rows12 = (final[d][0:3] + (roll, pitch, yaw)
+                      + final[d][7:10] + final[d][13:16])
+            for k, row in enumerate(rows12):
+                obs_ref[d * 12 + k:d * 12 + k + 1, :] = row
 
     for d in range(n):
         for k in range(4):
@@ -357,18 +364,19 @@ def _from_rows(rows, b, n, k):
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+                   static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 12))
 def env_ctrl_step(pid_params, dyn_params: DroneParams, physics: Physics,
                   n_drones: int, n_substeps: int, pyb_dt: float,
                   ctrl_dt: float, obstacles: tuple, state, ctrl_state,
-                  action_rows, last_rpm):
+                  action_rows, last_rpm, emit_obs12: bool = False):
     """Fused control step over (B env-lanes) x (N drone-rows).
 
     state: NamedTuple with pos/quat/vel/rpy_rates/ang_v leaves of shape
     (B*N, k), drone-major; ctrl_state: dsl_pid.PIDState (B*N, 3) leaves
     (pass None when pid_params is None); action_rows: (B*N, 12) PID
     targets when pid_params is set, else (B*N, 4) rpm; last_rpm: (B*N, 4)
-    (consumed by the drag modes).  Returns (state', ctrl_state', rpm).
+    (consumed by the drag modes).  Returns (state', ctrl_state', rpm)
+    plus the in-kernel (B*N, 12) kinematic obs block when emit_obs12.
     """
     use_pid = pid_params is not None
     n = n_drones
@@ -400,7 +408,8 @@ def env_ctrl_step(pid_params, dyn_params: DroneParams, physics: Physics,
     if pad:
         inputs = [jnp.pad(x, ((0, 0), (0, pad))) for x in inputs]
     bp = b + pad
-    out_rows = [n * S_ROWS, n * 4] + ([n * PID_ROWS] if use_pid else [])
+    out_rows = [n * S_ROWS, n * 4] + ([n * PID_ROWS] if use_pid else []) \
+        + ([n * 12] if emit_obs12 else [])
     # block size: keep the block's VMEM footprint under ~6 MB
     total_rows = sum(in_rows) + sum(out_rows)
     block = min(bp, 2048)
@@ -412,7 +421,8 @@ def env_ctrl_step(pid_params, dyn_params: DroneParams, physics: Physics,
 
     outs = pl.pallas_call(
         functools.partial(_kernel, pid_params, dyn_params, physics,
-                          n, n_substeps, pyb_dt, ctrl_dt, obstacles),
+                          n, n_substeps, pyb_dt, ctrl_dt, obstacles,
+                          emit_obs12),
         interpret=interpret,
         out_shape=[jax.ShapeDtypeStruct((r, bp), dtype) for r in out_rows],
         grid=(bp // block,),
@@ -434,4 +444,6 @@ def env_ctrl_step(pid_params, dyn_params: DroneParams, physics: Physics,
         new_ctrl = ctrl_state._replace(
             last_rpy=p[:, 0:3], integral_pos_e=p[:, 3:6],
             integral_rpy_e=p[:, 6:9])
+    if emit_obs12:
+        return new_state, new_ctrl, rpm, _from_rows(outs[-1], b, n, 12)
     return new_state, new_ctrl, rpm

@@ -27,7 +27,6 @@ Reference parity notes:
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -38,46 +37,10 @@ from gym_pybullet_drones_tpu.params import DroneParams, G
 from gym_pybullet_drones_tpu.utils.enums import DroneModel
 from gym_pybullet_drones_tpu.control import dsl_pid as C
 from gym_pybullet_drones_tpu.ops import pallas_dyn
+from gym_pybullet_drones_tpu.ops.pallas_math import (
+    atan as _atan, atan2 as _atan2, asin as _asin)
 
 LANE = 128
-_PI = math.pi
-_PIO2 = math.pi / 2
-_PIO4 = math.pi / 4
-_TAN_3PI_8 = 2.414213562373095
-_TAN_PI_8 = 0.4142135623730950
-
-
-# ---- polynomial trig inverses (Mosaic has no atan/asin primitives) ----
-
-def _atan(x):
-    """Cephes atanf: range-reduced 4-term polynomial, ~2 ulp in f32."""
-    sign = jnp.where(x < 0, -1.0, 1.0)
-    t = jnp.abs(x)
-    big = t > _TAN_3PI_8
-    mid = t > _TAN_PI_8
-    safe_t = jnp.where(t == 0, 1.0, t)
-    xr = jnp.where(big, -1.0 / safe_t,
-                   jnp.where(mid, (t - 1.0) / (t + 1.0), t))
-    y0 = jnp.where(big, _PIO2, jnp.where(mid, _PIO4, 0.0))
-    z = xr * xr
-    y = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
-          + 1.99777106478e-1) * z - 3.33329491539e-1) * z * xr + xr
-    return sign * (y0 + y)
-
-
-def _atan2(y, x):
-    """numpy-convention atan2 from the polynomial atan."""
-    safe_x = jnp.where(x == 0, 1.0, x)
-    base = _atan(y / safe_x)
-    sgn_y = jnp.where(y < 0, -1.0, 1.0)
-    res = jnp.where(x > 0, base, base + sgn_y * _PI)
-    res = jnp.where(x == 0, sgn_y * _PIO2, res)
-    return jnp.where((x == 0) & (y == 0), jnp.zeros_like(res), res)
-
-
-def _asin(x):
-    x = jnp.clip(x, -1.0, 1.0)
-    return _atan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
 
 
 # ---- the PID tick over row vectors (shared with ops/pallas_env.py) ----
@@ -190,7 +153,8 @@ def _pid_tick(pid_params: DroneParams, ctrl_dt: float, state_rows,
 
 def _kernel(pid_params: DroneParams, dyn_params: DroneParams,
             n_substeps: int, pyb_dt: float, ctrl_dt: float,
-            s_ref, pid_ref, tgt_ref, os_ref, opid_ref, orpm_ref):
+            emit_obs12: bool, s_ref, pid_ref, tgt_ref, os_ref, opid_ref,
+            orpm_ref, *obs_ref):
     state_rows = tuple(s_ref[i:i + 1, :] for i in range(13))
     pid_rows = tuple(pid_ref[i:i + 1, :] for i in range(9))
     tgt_rows = tuple(tgt_ref[i:i + 1, :] for i in range(12))
@@ -206,18 +170,25 @@ def _kernel(pid_params: DroneParams, dyn_params: DroneParams,
         opid_ref[i:i + 1, :] = row
     for i, row in enumerate(rpm_rows):
         orpm_ref[i:i + 1, :] = row
+    if emit_obs12:
+        from gym_pybullet_drones_tpu.ops import pallas_math
+        roll, pitch, yaw = pallas_math.quat_rpy_rows(*out[3:7])
+        rows12 = out[0:3] + (roll, pitch, yaw) + out[7:10] + out[13:16]
+        for i, row in enumerate(rows12):
+            obs_ref[0][i:i + 1, :] = row
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 11))
 def pid_dyn_ctrl_step(pid_params: DroneParams, dyn_params: DroneParams,
                       state, pid_state, n_substeps: int, pyb_dt: float,
                       ctrl_dt: float, target_pos, target_rpy, target_vel,
-                      target_rpy_rates):
+                      target_rpy_rates, emit_obs12: bool = False):
     """Fused DSL-PID tick + n DYN substeps in one Pallas launch.
 
     state: NamedTuple with pos/quat/vel/rpy_rates/ang_v of shape (B, k)
     (flattened env*drone batch); pid_state: dsl_pid.PIDState with (B, 3)
-    leaves; targets: (B, 3) each.  Returns (state', pid_state', rpm (B, 4)).
+    leaves; targets: (B, 3) each.  Returns (state', pid_state', rpm (B, 4))
+    plus the in-kernel (B, 12) kinematic obs block when emit_obs12.
     """
     b = state.pos.shape[0]
     pad = (-b) % LANE
@@ -239,13 +210,12 @@ def pid_dyn_ctrl_step(pid_params: DroneParams, dyn_params: DroneParams,
         block = LANE
     interpret = jax.default_backend() != "tpu"
     dtype = packed.dtype
+    out_rows = [16, 9, 4] + ([12] if emit_obs12 else [])
     outs = pl.pallas_call(
         functools.partial(_kernel, pid_params, dyn_params, n_substeps,
-                          pyb_dt, ctrl_dt),
+                          pyb_dt, ctrl_dt, emit_obs12),
         interpret=interpret,
-        out_shape=[jax.ShapeDtypeStruct((16, bp), dtype),
-                   jax.ShapeDtypeStruct((9, bp), dtype),
-                   jax.ShapeDtypeStruct((4, bp), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((r, bp), dtype) for r in out_rows],
         grid=(bp // block,),
         in_specs=[
             pl.BlockSpec((16, block), lambda i: (0, i),
@@ -255,23 +225,18 @@ def pid_dyn_ctrl_step(pid_params: DroneParams, dyn_params: DroneParams,
             pl.BlockSpec((12, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((16, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[pl.BlockSpec((r, block), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+                   for r in out_rows],
     )(packed, pid_packed, tgt_packed)
-    o_state, o_pid, o_rpm = outs
     if pad:
-        o_state = o_state[:, :b]
-        o_pid = o_pid[:, :b]
-        o_rpm = o_rpm[:, :b]
+        outs = [o[:, :b] for o in outs]
+    o_state, o_pid, o_rpm = outs[:3]
     new_state = pallas_dyn._unpack(o_state, state)
     pid_flat = o_pid.T
     new_pid = pid_state._replace(
         last_rpy=pid_flat[:, 0:3], integral_pos_e=pid_flat[:, 3:6],
         integral_rpy_e=pid_flat[:, 6:9])
+    if emit_obs12:
+        return new_state, new_pid, o_rpm.T, outs[3].T
     return new_state, new_pid, o_rpm.T

@@ -108,8 +108,11 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     # throughput path: Pallas-fused physics for DYN configs, vmapped core
     # otherwise (envs/fast.py falls back transparently)
     from gym_pybullet_drones_tpu.envs.fast import make_batched_step
+    # obs_layout="flat": the policy consumes flattened observations, so
+    # skip the padded (B, N, D) relayout in the env step (envs/fast.py)
     batched_reset, batched_step = make_batched_step(
-        env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype, mesh=mesh)
+        env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype, mesh=mesh,
+        obs_layout="flat")
 
     if ppo.anneal_lr:
         total_opt_steps = (ppo.num_updates * ppo.update_epochs

@@ -68,3 +68,10 @@ def test_learn_multiagent(tmp_path):
     best = run(gui=False, plot=False, output_folder=str(tmp_path),
                local=False, num_envs=4, multiagent=True)
     assert np.isfinite(best)
+
+
+def test_swarm(tmp_path):
+    from examples.swarm import run
+    arrived = run(num_envs=2, num_drones=3, duration_sec=4,
+                  render_frame=False, output_folder=str(tmp_path))
+    assert arrived > 0.5  # most drones reach their goals

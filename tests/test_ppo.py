@@ -108,6 +108,22 @@ def test_sharded_update_with_shard_mapped_env_step():
                                float(m_u["mean_reward"]), rtol=1e-4)
 
 
+def test_ppo_routing_task_update():
+    """Shared-policy MARL training on the routing fleet task: one PPO
+    update over 4-drone envs (PID waypoint actions) runs and is finite."""
+    from gym_pybullet_drones_tpu.envs.routing import make_routing_config
+    cfg, task = make_routing_config(num_drones=4, physics=Physics.DYN)
+    ppo = PPOConfig(num_envs=4, rollout_steps=8, num_minibatches=2,
+                    update_epochs=1)
+    init, update, _, network = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(0))
+    # obs: 12 kinematic + 15*3 action history + 6 routing extras, 4 drones
+    assert ts.last_obs.shape == (4, 4 * (12 + 45 + 6))
+    ts2, metrics = jax.jit(update)(ts)
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert np.isfinite(float(metrics["pg_loss"]))
+
+
 def test_ppo_rgb_observations_update():
     """PPO runs on ray-traced RGB observations (NatureCNN policy)."""
     from gym_pybullet_drones_tpu.utils.enums import ObservationType
