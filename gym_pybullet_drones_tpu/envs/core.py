@@ -79,9 +79,10 @@ class AviaryConfig:
     # initial poses as nested tuples (hashable); None -> reference default grid
     init_xyzs: tuple | None = None
     init_rpys: tuple | None = None
-    # static spherical obstacles ((x, y, z, radius), ...): collision in the
-    # PYB-family modes (the reference's obstacle bodies, BaseAviary:955-978,
-    # approximated by bounding spheres)
+    # static obstacles: (x, y, z, radius) = sphere, (x, y, z, hx, hy, hz) =
+    # axis-aligned box (center + half extents).  Collision in the PYB-family
+    # modes (the reference's obstacle bodies, BaseAviary:955-978, approximated
+    # by their bounding primitives)
     obstacles: tuple = ()
 
     def __post_init__(self):

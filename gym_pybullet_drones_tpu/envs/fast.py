@@ -347,7 +347,7 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         # multi-chip mesh.  The env step is embarrassingly parallel along
         # the env axis, so wrap it in shard_map — each device runs the
         # kernel on its local shard; no collectives are introduced.
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec
         spec = PartitionSpec(mesh.axis_names[0])
         inner = step_fn

@@ -28,10 +28,17 @@ class FunctionalAviary(gym.Env):
     metadata = {"render_modes": ["human"]}
 
     def __init__(self, cfg: core.AviaryConfig, task, dtype=jnp.float32,
-                 record: bool = False, output_folder: str = "results"):
+                 record: bool = False, output_folder: str = "results",
+                 gui: bool = False):
         self.cfg = cfg
         self.task = task
         self.dtype = dtype
+        # Host-side GUI analogue (reference BaseAviary GUI branch, :148-167):
+        # a matplotlib 3D flight view updated per control step — live when an
+        # interactive backend exists, otherwise frames accumulate for
+        # viewer.save() (utils/viewer.py).
+        self.GUI = gui
+        self._viewer = None
         # Frame recording (reference BaseAviary DIRECT-mode PNG capture,
         # :174-192,292-317): ray-traced third-person frames at 24 fps.
         self.RECORD = record
@@ -117,8 +124,24 @@ class FunctionalAviary(gym.Env):
             self._capture_frame()
         self.state, obs, reward, term, trunc, info = self._step(
             self.state, action)
+        if self.GUI:
+            self._update_viewer()
         return (np.asarray(obs), float(reward), bool(term), bool(trunc),
                 info)
+
+    def _update_viewer(self):
+        from gym_pybullet_drones_tpu.ops import quat as quat_ops
+        if self._viewer is None:
+            from gym_pybullet_drones_tpu.utils.viewer import FlightViewer
+            targets = getattr(self.task, "target_pos", None)
+            if targets is None:
+                targets = getattr(self, "TARGET_POS", None)
+            self._viewer = FlightViewer(
+                self.cfg.num_drones, arm=self.cfg.drone.l,
+                obstacles=self.cfg.obstacles, targets=targets,
+                fps=min(30.0, self.cfg.ctrl_freq))
+        rpy = quat_ops.quat_to_rpy(self.state.quat)
+        self._viewer.update(np.asarray(self.state.pos), np.asarray(rpy))
 
     def _capture_frame(self):
         """Save a third-person PNG frame (reference CAM_VIEW: distance 3,
@@ -160,7 +183,9 @@ class FunctionalAviary(gym.Env):
               f"({sim_t / max(wall, 1e-9):.2f}x)")
 
     def close(self):
-        pass
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
 
     # -- extras mirroring reference helpers -----------------------------
     def getPyBulletClient(self):
@@ -214,11 +239,14 @@ class FunctionalAviary(gym.Env):
 
 
 # The reference's obstacle bodies (BaseAviary._addObstacles:955-978:
-# duck/cube/sphere around the origin) approximated as bounding spheres.
+# duck/cube/sphere around the origin) as collision primitives: the duck
+# mesh by its bounding sphere, cube_no_rotation as a true 1 m box, sphere2
+# as its exact sphere.  4-tuple = sphere, 6-tuple = box (center + half
+# extents) — see envs/core.AviaryConfig.obstacles.
 OBSTACLE_SPHERES = (
-    (-0.5, -0.5, 0.05, 0.1),   # duck
-    (-0.5, -2.5, 0.5, 0.5),    # cube
-    (0.0, 2.0, 0.5, 0.5),      # sphere
+    (-0.5, -0.5, 0.05, 0.1),            # duck (bounding sphere)
+    (-0.5, -2.5, 0.5, 0.5, 0.5, 0.5),   # cube_no_rotation (1 m box)
+    (0.0, 2.0, 0.5, 0.5),               # sphere2
 )
 
 
@@ -246,7 +274,7 @@ class CtrlAviary(FunctionalAviary):
                         initial_xyzs, initial_rpys, physics, pyb_freq,
                         ctrl_freq, obstacles=obstacles)
         super().__init__(cfg, tasks.CtrlTask(), record=record,
-                         output_folder=output_folder)
+                         output_folder=output_folder, gui=gui)
 
 
 class VelocityAviary(FunctionalAviary):
@@ -261,7 +289,7 @@ class VelocityAviary(FunctionalAviary):
                         initial_xyzs, initial_rpys, physics, pyb_freq,
                         ctrl_freq, obstacles=obstacles)
         super().__init__(cfg, tasks.VelocityTask(), record=record,
-                         output_folder=output_folder)
+                         output_folder=output_folder, gui=gui)
 
 
 class HoverAviary(FunctionalAviary):
@@ -274,7 +302,7 @@ class HoverAviary(FunctionalAviary):
         cfg = _make_cfg(drone_model, 1, np.inf, initial_xyzs, initial_rpys,
                         physics, pyb_freq, ctrl_freq)
         task = tasks.HoverTask(act=ActionType(act), obs=ObservationType(obs))
-        super().__init__(cfg, task, record=record)
+        super().__init__(cfg, task, record=record, gui=gui)
         self.EPISODE_LEN_SEC = task.episode_len_sec
         self.TARGET_POS = np.asarray(task.target_pos)
 
@@ -292,7 +320,7 @@ class MultiHoverAviary(FunctionalAviary):
                         ctrl_freq)
         task = tasks.MultiHoverTask(act=ActionType(act),
                                     obs=ObservationType(obs))
-        super().__init__(cfg, task, record=record)
+        super().__init__(cfg, task, record=record, gui=gui)
         self.EPISODE_LEN_SEC = task.episode_len_sec
         self.TARGET_POS = np.asarray(task._targets(
             cfg, core.reset(cfg, task)[0]))

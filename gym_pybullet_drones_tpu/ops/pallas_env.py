@@ -229,22 +229,63 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
         w[0] = w[0] * scale
         w[1] = w[1] * scale
         w[2] = w[2] * scale
-        # static spherical obstacles (inelastic pushout)
-        for (ox, oy, oz, orad) in obstacles:
-            dx, dy, dz = p[0] - ox, p[1] - oy, p[2] - oz
-            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            min_d = orad + params.collision_r
-            hit = dist < min_d
-            inv_d = 1.0 / jnp.maximum(dist, 1e-6)
-            nx, ny, nz = dx * inv_d, dy * inv_d, dz * inv_d
-            p[0] = jnp.where(hit, ox + nx * min_d, p[0])
-            p[1] = jnp.where(hit, oy + ny * min_d, p[1])
-            p[2] = jnp.where(hit, oz + nz * min_d, p[2])
-            vn = v[0] * nx + v[1] * ny + v[2] * nz
-            rm = hit & (vn < 0)
-            v[0] = jnp.where(rm, v[0] - vn * nx, v[0])
-            v[1] = jnp.where(rm, v[1] - vn * ny, v[1])
-            v[2] = jnp.where(rm, v[2] - vn * nz, v[2])
+        # static obstacles (inelastic pushout): 4-tuple = sphere,
+        # 6-tuple = axis-aligned box (ops/rigid_body.pyb_step semantics)
+        for entry in obstacles:
+            if len(entry) == 4:
+                ox, oy, oz, orad = entry
+                dx, dy, dz = p[0] - ox, p[1] - oy, p[2] - oz
+                dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                min_d = orad + params.collision_r
+                hit = dist < min_d
+                inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+                nx, ny, nz = dx * inv_d, dy * inv_d, dz * inv_d
+                p[0] = jnp.where(hit, ox + nx * min_d, p[0])
+                p[1] = jnp.where(hit, oy + ny * min_d, p[1])
+                p[2] = jnp.where(hit, oz + nz * min_d, p[2])
+                vn = v[0] * nx + v[1] * ny + v[2] * nz
+                rm = hit & (vn < 0)
+                v[0] = jnp.where(rm, v[0] - vn * nx, v[0])
+                v[1] = jnp.where(rm, v[1] - vn * ny, v[1])
+                v[2] = jnp.where(rm, v[2] - vn * nz, v[2])
+            else:
+                ox, oy, oz, hx, hy, hz = entry
+                br = params.collision_r
+                rx, ry, rz = p[0] - ox, p[1] - oy, p[2] - oz
+                cx = jnp.clip(rx, -hx, hx)
+                cy = jnp.clip(ry, -hy, hy)
+                cz = jnp.clip(rz, -hz, hz)
+                dx, dy, dz = rx - cx, ry - cy, rz - cz
+                dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                out_hit = (dist < br) & (dist > 1e-6)
+                inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+                nox, noy, noz = dx * inv_d, dy * inv_d, dz * inv_d
+                p[0] = jnp.where(out_hit, ox + cx + nox * br, p[0])
+                p[1] = jnp.where(out_hit, oy + cy + noy * br, p[1])
+                p[2] = jnp.where(out_hit, oz + cz + noz * br, p[2])
+                # center inside the box: face push along least penetration
+                inside = dist <= 1e-6
+                px_ = hx + br - jnp.abs(rx)
+                py_ = hy + br - jnp.abs(ry)
+                pz_ = hz + br - jnp.abs(rz)
+                isx = inside & (px_ <= py_) & (px_ <= pz_)
+                isy = inside & ~isx & (py_ <= pz_)
+                isz = inside & ~isx & ~isy
+                sgx = jnp.where(rx >= 0, 1.0, -1.0)
+                sgy = jnp.where(ry >= 0, 1.0, -1.0)
+                sgz = jnp.where(rz >= 0, 1.0, -1.0)
+                p[0] = jnp.where(isx, p[0] + sgx * px_, p[0])
+                p[1] = jnp.where(isy, p[1] + sgy * py_, p[1])
+                p[2] = jnp.where(isz, p[2] + sgz * pz_, p[2])
+                nx = jnp.where(out_hit, nox, jnp.where(isx, sgx, 0.0))
+                ny = jnp.where(out_hit, noy, jnp.where(isy, sgy, 0.0))
+                nz = jnp.where(out_hit, noz, jnp.where(isz, sgz, 0.0))
+                hit = out_hit | inside
+                vn = v[0] * nx + v[1] * ny + v[2] * nz
+                rm = hit & (vn < 0)
+                v[0] = jnp.where(rm, v[0] - vn * nx, v[0])
+                v[1] = jnp.where(rm, v[1] - vn * ny, v[1])
+                v[2] = jnp.where(rm, v[2] - vn * nz, v[2])
 
     # ---- pairwise drone-drone contact (rigid_body.resolve_drone_collisions)
     if n > 1:

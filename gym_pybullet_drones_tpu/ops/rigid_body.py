@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gym_pybullet_drones_tpu.params import DroneParams
@@ -125,19 +126,49 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
     ang_v = jnp.where(in_contact[..., None],
                       ang_v * jnp.asarray(tangential_scale)[..., None], ang_v)
 
-    # --- Static spherical obstacles (approximate, inelastic pushout) ---
+    # --- Static obstacles (approximate, inelastic pushout) ---
+    # Entry formats: (x, y, z, radius) = sphere; (x, y, z, hx, hy, hz) =
+    # axis-aligned box (center + half extents).  The drone is its bounding
+    # sphere (collision_r), matching Bullet's convex contact qualitatively.
     if obstacles:
         body_r = params.collision_r
-        for ox, oy, oz, orad in obstacles:
-            center = jnp.asarray([ox, oy, oz], dtype)
-            delta = pos - center
-            dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
-            min_d = orad + body_r
-            hit = dist < min_d
-            n_hat = delta / jnp.maximum(dist, 1e-6)
-            pos = jnp.where(hit, center + n_hat * min_d, pos)
-            vn = jnp.sum(vel * n_hat, axis=-1, keepdims=True)
-            vel = jnp.where(hit & (vn < 0), vel - vn * n_hat, vel)
+        for entry in obstacles:
+            if len(entry) == 4:
+                ox, oy, oz, orad = entry
+                center = jnp.asarray([ox, oy, oz], dtype)
+                delta = pos - center
+                dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+                min_d = orad + body_r
+                hit = dist < min_d
+                n_hat = delta / jnp.maximum(dist, 1e-6)
+                pos = jnp.where(hit, center + n_hat * min_d, pos)
+                vn = jnp.sum(vel * n_hat, axis=-1, keepdims=True)
+                vel = jnp.where(hit & (vn < 0), vel - vn * n_hat, vel)
+            else:
+                ox, oy, oz, hx, hy, hz = entry
+                center = jnp.asarray([ox, oy, oz], dtype)
+                half = jnp.asarray([hx, hy, hz], dtype)
+                rel = pos - center
+                closest = jnp.clip(rel, -half, half)
+                delta = rel - closest                 # 0 inside the box
+                dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+                out_hit = (dist < body_r) & (dist > 1e-6)
+                n_out = delta / jnp.maximum(dist, 1e-6)
+                pos = jnp.where(out_hit,
+                                center + closest + n_out * body_r, pos)
+                # center inside the box: push out along the axis of least
+                # penetration (face normal)
+                inside = dist <= 1e-6
+                pen = half + body_r - jnp.abs(rel)    # (..., 3) depths
+                axis_1h = jax.nn.one_hot(
+                    jnp.argmin(pen, axis=-1), 3, dtype=dtype)
+                sgn = jnp.where(rel >= 0, 1.0, -1.0)
+                n_in = axis_1h * sgn
+                pos = jnp.where(inside, pos + n_in * pen, pos)
+                n_hat = jnp.where(out_hit, n_out, n_in)
+                hit = out_hit | inside
+                vn = jnp.sum(vel * n_hat, axis=-1, keepdims=True)
+                vel = jnp.where(hit & (vn < 0), vel - vn * n_hat, vel)
     return PybState(pos=pos, quat=quat, vel=vel, ang_v=ang_v)
 
 

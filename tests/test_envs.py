@@ -257,3 +257,55 @@ def test_randomized_resets_decorrelate_envs():
     for _ in range(60):
         state_n, obs_n, r, te, tr = benv.step(state_n, a)
     assert float(jnp.std(state_n.pos[:, 0, 0])) > 0.001
+
+
+def test_pyb_box_obstacle_collision():
+    """Box obstacles: side approach stops at the face + bounding-sphere
+    margin; flight above the box top is unobstructed
+    (reference cube_no_rotation.urdf body, BaseAviary._addObstacles:969-973)."""
+    box = (0.0, 2.0, 0.5, 0.5, 0.5, 0.5)   # 1 m cube centered at y=2
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                       pyb_freq=240, ctrl_freq=240,
+                       init_xyzs=((0.0, 1.2, 0.5),),
+                       obstacles=(box,))
+    task = CtrlTask()
+    st, obs, _ = reset(cfg, task)
+    st = st._replace(vel=st.vel.at[0, 1].set(2.0))  # fly toward the box
+    rpm = jnp.full((1, 4), P.CF2X.hover_rpm)
+    stepper = jax.jit(lambda s: step(cfg, task, s, rpm)[0])
+    for _ in range(240):
+        st = stepper(st)
+    # stopped at the -y face: y <= 2 - 0.5 - collision_r
+    assert float(st.pos[0, 1]) <= 2.0 - 0.5 - P.CF2X.collision_r + 1e-5
+    assert float(st.pos[0, 1]) > 1.2   # it did advance to the face
+
+    # same flight 1 m higher clears the box (top at z=1.0 + margin)
+    cfg2 = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                        pyb_freq=240, ctrl_freq=240,
+                        init_xyzs=((0.0, 1.2, 1.2),),
+                        obstacles=(box,))
+    st2, _, _ = reset(cfg2, task)
+    st2 = st2._replace(vel=st2.vel.at[0, 1].set(2.0))
+    stepper2 = jax.jit(lambda s: step(cfg2, task, s, rpm)[0])
+    for _ in range(240):
+        st2 = stepper2(st2)
+    assert float(st2.pos[0, 1]) > 2.6  # flew past the box
+
+
+def test_pyb_box_obstacle_rest_on_top():
+    """A drone descending onto a box comes to rest on its top face."""
+    box = (0.0, 0.0, 0.5, 0.5, 0.5, 0.5)
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                       pyb_freq=240, ctrl_freq=240,
+                       init_xyzs=((0.0, 0.0, 1.5),),
+                       obstacles=(box,))
+    task = CtrlTask()
+    st, _, _ = reset(cfg, task)
+    rpm = jnp.zeros((1, 4))   # free fall onto the box
+    stepper = jax.jit(lambda s: step(cfg, task, s, rpm)[0])
+    for _ in range(480):
+        st = stepper(st)
+    # resting at z ~ box_top + collision_r
+    z = float(st.pos[0, 2])
+    assert abs(z - (1.0 + P.CF2X.collision_r)) < 0.02
+    assert abs(float(st.vel[0, 2])) < 0.05

@@ -344,3 +344,35 @@ def test_fast_batched_step_multidrone():
     np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3),
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r3), rtol=1e-4)
+
+
+def test_pallas_env_box_obstacle_matches_core():
+    """Box-obstacle pushout inside the kernel vs the XLA core path."""
+    from gym_pybullet_drones_tpu.envs.tasks import CtrlTask
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                       pyb_freq=240, ctrl_freq=120,
+                       init_xyzs=((0.0, 1.82, 0.5),),
+                       obstacles=((0.0, 2.5, 0.5, 0.5, 0.5, 0.5),))
+    task = CtrlTask()
+    from gym_pybullet_drones_tpu.envs import core
+    B = 2
+    reset_fn, step_fn = make_batched_step(cfg, task, B, autoreset=False)
+    state, _ = reset_fn()
+    state = state._replace(
+        vel=jnp.tile(jnp.asarray([[0.0, 1.5, 0.0]], jnp.float32), (B, 1)))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    cstate, _, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
+    cstate = cstate._replace(
+        vel=jnp.tile(jnp.asarray([[[0.0, 1.5, 0.0]]], jnp.float32),
+                     (B, 1, 1)))
+    vstep = jax.vmap(lambda s, a: core.step(cfg, task, s, a)[0])
+    rpm = jnp.full((B, 1, 4), P.CF2X.hover_rpm, jnp.float32)
+    stepper = jax.jit(lambda s: step_fn(s, rpm)[0])
+    for _ in range(16):
+        state = stepper(state)
+        cstate = vstep(cstate, rpm)
+    np.testing.assert_allclose(np.asarray(state.pos),
+                               np.asarray(cstate.pos.reshape(B, 3)),
+                               rtol=1e-4, atol=1e-4)
+    # stopped at the -y face of the box (y = 2.0) + bounding-sphere margin
+    assert float(state.pos[0, 1]) <= 2.0 - P.CF2X.collision_r + 1e-5
