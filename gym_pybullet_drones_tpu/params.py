@@ -252,3 +252,82 @@ def from_urdf(path: str, model: DroneModel = DroneModel.CF2X) -> DroneParams:
         dw_coeff_3=float(props["dw_coeff_3"]),
         prop_offsets=tuple(prop_offsets[:4]),
     )
+
+
+def to_urdf(params: DroneParams, path: str) -> str:
+    """Write a DroneParams as a gym-pybullet-drones-format URDF file.
+
+    Inverse of `from_urdf` (element layout per reference
+    BaseAviary._parseURDFParameters, BaseAviary.py:982-1014): a
+    `<properties>` tag with the aerodynamic constants, a base link with
+    inertial + visual + collision-cylinder blocks, and one link per prop
+    carrying its body-frame offset.  Used to generate the in-package assets
+    (gym_pybullet_drones_tpu/assets/) and available for users exporting
+    customized models.
+    """
+    p = params
+    prop_links = "\n".join(
+        f"""  <link name="prop{i}_link">
+    <inertial>
+      <origin rpy="0 0 0" xyz="{ox!r} {oy!r} {oz!r}"/>
+      <mass value="0"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/>
+    </inertial>
+  </link>
+  <joint name="prop{i}_joint" type="fixed">
+    <parent link="base_link"/>
+    <child link="prop{i}_link"/>
+  </joint>"""
+        for i, (ox, oy, oz) in enumerate(p.prop_offsets))
+    xml = f"""<?xml version="1.0" ?>
+<robot name="{p.model.value}">
+  <properties arm="{p.l!r}" kf="{p.kf!r}" km="{p.km!r}"
+    thrust2weight="{p.thrust2weight!r}" max_speed_kmh="{p.max_speed_kmh!r}"
+    gnd_eff_coeff="{p.gnd_eff_coeff!r}" prop_radius="{p.prop_radius!r}"
+    drag_coeff_xy="{p.drag_coeff_xy!r}" drag_coeff_z="{p.drag_coeff_z!r}"
+    dw_coeff_1="{p.dw_coeff_1!r}" dw_coeff_2="{p.dw_coeff_2!r}"
+    dw_coeff_3="{p.dw_coeff_3!r}"/>
+  <link name="base_link">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 0 0"/>
+      <mass value="{p.m!r}"/>
+      <inertia ixx="{p.ixx!r}" ixy="0" ixz="0" iyy="{p.iyy!r}" iyz="0" izz="{p.izz!r}"/>
+    </inertial>
+    <visual>
+      <origin rpy="0 0 0" xyz="0 0 0"/>
+      <geometry>
+        <cylinder length="{p.collision_h!r}" radius="{p.collision_r!r}"/>
+      </geometry>
+    </visual>
+    <collision>
+      <origin rpy="0 0 0" xyz="0 0 {p.collision_z_offset!r}"/>
+      <geometry>
+        <cylinder length="{p.collision_h!r}" radius="{p.collision_r!r}"/>
+      </geometry>
+    </collision>
+  </link>
+{prop_links}
+  <link name="center_of_mass_link">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 0 0"/>
+      <mass value="0"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/>
+    </inertial>
+  </link>
+  <joint name="center_of_mass_joint" type="fixed">
+    <parent link="base_link"/>
+    <child link="center_of_mass_link"/>
+  </joint>
+</robot>
+"""
+    with open(path, "w") as f:
+        f.write(xml)
+    return path
+
+
+def asset_path(model: DroneModel | str) -> str:
+    """Path of the in-package URDF asset for `model` (cf2x/cf2p/racer)."""
+    import os
+    model = DroneModel(model)
+    return os.path.join(os.path.dirname(__file__), "assets",
+                        f"{model.value}.urdf")

@@ -166,3 +166,24 @@ def test_downwash_parity():
         np.testing.assert_allclose(np.asarray(force[n]),
                                    np.array([0, 0, -o_mag]), rtol=1e-12,
                                    atol=1e-18)
+
+
+def test_urdf_asset_roundtrip():
+    """In-package URDF assets parse back to the exact hard-coded params
+    (to_urdf <-> from_urdf, reference BaseAviary._parseURDFParameters)."""
+    import os
+    from gym_pybullet_drones_tpu import params as P
+    for prm in (P.CF2X, P.CF2P, P.RACE):
+        path = P.asset_path(prm.model)
+        assert os.path.exists(path), path
+        assert P.from_urdf(path, prm.model) == prm
+
+
+def test_to_urdf_custom_roundtrip(tmp_path):
+    """to_urdf/from_urdf roundtrip for a user-customized model."""
+    import dataclasses
+    from gym_pybullet_drones_tpu import params as P
+    custom = dataclasses.replace(P.CF2X, m=0.031, kf=3.3e-10)
+    path = str(tmp_path / "custom.urdf")
+    P.to_urdf(custom, path)
+    assert P.from_urdf(path) == custom
