@@ -31,8 +31,11 @@ transparently (still with the flattened carry).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_pybullet_drones_tpu.envs import core
 from gym_pybullet_drones_tpu.params import CF2X
@@ -227,28 +230,42 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         getattr(task, f, 0.0)
         for f in ("reset_pos_noise", "reset_rpy_noise", "reset_vel_noise"))
     if autoreset and not randomized:
-        # ONE env's reset (leaves (N, ...)); step_fn broadcasts it to the
-        # runtime batch, so the same trace works at any local shard size
-        # (shard_map) and no (B, ...) constants are embedded.
+        # ONE env's reset (leaves (N, ...)); _tiled_init embeds it tiled to
+        # the runtime batch as trace-time CONSTANTS, cached per local shard
+        # size (shard_map traces see the local size) — a per-step
+        # broadcast+reshape across the drone axis would relayout every leaf
+        # every step on TPU (measured ~26 us/step for N=2 at 4096 lanes).
         _s1, _obs1, _ = jax.jit(
             lambda: core.reset(cfg, task, dtype=dtype))()
+        _s1_host = jax.tree.map(lambda x: np.asarray(x), _s1)
+        _obs1_host = np.asarray(_obs1)
+
+    @functools.lru_cache(maxsize=8)
+    def _tiled_init_consts(local_bn: int):
+        # numpy-only (cached across traces; jax arrays created inside a
+        # trace are tracers and must NOT be cached — jnp conversion happens
+        # per trace in _tiled_init)
+        lb = local_bn // n
+        t = lambda x: np.ascontiguousarray(np.broadcast_to(
+            x[None], (lb,) + x.shape).reshape((local_bn,) + x.shape[1:]))
+        state = _s1_host._replace(
+            pos=t(_s1_host.pos), quat=t(_s1_host.quat), vel=t(_s1_host.vel),
+            rpy_rates=t(_s1_host.rpy_rates), ang_v=t(_s1_host.ang_v),
+            last_rpm=t(_s1_host.last_rpm),
+            action_buffer=t(_s1_host.action_buffer).reshape(
+                local_bn, buf_len * act_dim),
+            ctrl_state=jax.tree.map(t, _s1_host.ctrl_state),
+            step_counter=np.zeros((lb,), np.int32),
+            rng=None)
+        obs = np.ascontiguousarray(np.broadcast_to(
+            _obs1_host[None], (lb,) + _obs1_host.shape))
+        return state, obs
 
     def _tiled_init(local_bn: int, rng):
-        """Broadcast the single-env reset to a (local_bn, ...) flat state."""
-        lb = local_bn // n
-        t = lambda x: jnp.broadcast_to(
-            x[None], (lb,) + x.shape).reshape((local_bn,) + x.shape[1:])
-        state = _s1._replace(
-            pos=t(_s1.pos), quat=t(_s1.quat), vel=t(_s1.vel),
-            rpy_rates=t(_s1.rpy_rates), ang_v=t(_s1.ang_v),
-            last_rpm=t(_s1.last_rpm),
-            action_buffer=t(_s1.action_buffer).reshape(
-                local_bn, buf_len * act_dim),
-            ctrl_state=jax.tree.map(t, _s1.ctrl_state),
-            step_counter=jnp.zeros((lb,), jnp.int32),
-            rng=rng)
-        obs = jnp.broadcast_to(_obs1[None], (lb,) + _obs1.shape)
-        return state, obs
+        """Constant (local_bn, ...) flat reset state (see cache above)."""
+        state, obs = _tiled_init_consts(local_bn)
+        state = jax.tree.map(jnp.asarray, state)
+        return state._replace(rng=rng), jnp.asarray(obs)
 
     def _fused_pid_step(flat: core.EnvState, action):
         """Buffer push + targets in XLA, PID + physics in one Pallas call."""
@@ -356,6 +373,6 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
             return shard_map(
                 inner, mesh=mesh,
                 in_specs=(spec, spec), out_specs=spec,
-                check_rep=False)(flat, action)
+                check_vma=False)(flat, action)
 
     return reset_fn, step_fn

@@ -380,13 +380,19 @@ class MultiHoverTask(RLTask):
         i = jnp.arange(n, dtype=flat.pos.dtype)
         tgt = init.at[:, 2].add(1.0 / (i + 1))                 # (N, 3)
         d = jnp.linalg.norm(jnp.tile(tgt, (b, 1)) - flat.pos,
-                            axis=-1).reshape(b, n)             # (B, N)
-        reward = jnp.sum(jnp.maximum(0.0, 2.0 - d ** 4), axis=-1)
-        term = jnp.sum(d, axis=-1) < 1e-4
+                            axis=-1)                           # (B*N,)
         out = (jnp.abs(flat.pos[:, 0]) > 2.0) | \
               (jnp.abs(flat.pos[:, 1]) > 2.0) | (flat.pos[:, 2] > 2.0) | \
               (jnp.abs(rpy[:, 0]) > 0.4) | (jnp.abs(rpy[:, 1]) > 0.4)
+        # one fused (B*N, 3) -> (B, 3) drone-axis reduction: the
+        # (B*N,) -> (B, N) relayout is a TPU lane shuffle, so pay it once
+        # for [reward, dist, out] together instead of three times
+        per = jnp.stack([jnp.maximum(0.0, 2.0 - d ** 4), d,
+                         out.astype(d.dtype)], axis=-1)        # (B*N, 3)
+        red = jnp.sum(per.reshape(b, n, 3), axis=1)            # (B, 3)
+        reward = red[:, 0]
+        term = red[:, 1] < 1e-4
         timeout = (flat.step_counter / cfg.pyb_freq) > self.episode_len_sec
-        trunc = jnp.any(out.reshape(b, n), axis=-1) | timeout
+        trunc = (red[:, 2] > 0) | timeout
         return reward, term, trunc
 
