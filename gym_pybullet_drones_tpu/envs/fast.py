@@ -376,3 +376,105 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
                 check_vma=False)(flat, action)
 
     return reset_fn, step_fn
+
+
+def make_fused_rollout(cfg: core.AviaryConfig, task, num_envs: int,
+                       mesh=None, obs_layout: str = "flat"):
+    """Fully-fused rollout stepping: ONE Pallas launch and a ONE-buffer scan
+    carry per control step (ops/pallas_fused.py) — physics, action buffer,
+    task reward/termination, obs assembly, and auto-reset all in-kernel.
+
+    Returns (reset_fn, step_fn): reset_fn() -> (carry, obs);
+    step_fn(carry, action (B, N, A)) -> (carry, obs, reward, term, trunc).
+    The carry is an opaque (RC, Bp) f32 row block (lanes = envs, padded to
+    128); use make_batched_step for an inspectable EnvState carry.
+
+    Eligibility (falls back is NOT automatic — raises ValueError):
+    float32, KIN observations, RPM/ONE_D_RPM actions, deterministic resets,
+    a task implementing `row_post`.  DYN and all PYB-family physics modes
+    are supported (sphere/box obstacles included).
+    """
+    from gym_pybullet_drones_tpu.ops import pallas_fused
+    from gym_pybullet_drones_tpu.utils.enums import ObservationType
+
+    n = cfg.num_drones
+    buf_len, act_dim = task.action_buffer_shape(cfg)
+    buf_rows = buf_len * act_dim
+    if getattr(task, "obs", None) != ObservationType.KIN:
+        raise ValueError("fused rollout requires KIN observations")
+    if task.act not in (ActionType.RPM, ActionType.ONE_D_RPM):
+        raise ValueError(f"fused rollout does not support {task.act} yet")
+    if getattr(task, "row_post", None) is None:
+        raise ValueError("task has no row_post hook")
+    if any(getattr(task, f, 0.0) for f in
+           ("reset_pos_noise", "reset_rpy_noise", "reset_vel_noise")):
+        raise ValueError("fused rollout requires deterministic resets")
+
+    # single-env eager reset -> init scalars + packed initial carry
+    s1, obs1, _ = jax.jit(lambda: core.reset(cfg, task))()
+    s1h = jax.tree.map(lambda x: np.asarray(x), s1)
+    flat16_1 = np.concatenate(
+        [s1h.pos, s1h.quat, s1h.vel, s1h.rpy_rates, s1h.ang_v],
+        axis=-1)                                       # (N, 16)
+    init16 = tuple(tuple(float(v) for v in flat16_1[d]) for d in range(n))
+
+    n_extra = getattr(task, "n_extra_obs_rows", 0) \
+        if getattr(task, "row_extra_obs", None) is not None else 0
+    obs_dim = 12 + buf_rows + n_extra
+
+    bn = num_envs * n
+
+    def reset_fn(seed: int = 0):
+        leaves = {
+            "pos": np.broadcast_to(s1h.pos, (num_envs, n, 3)).reshape(bn, 3),
+            "quat": np.broadcast_to(
+                s1h.quat, (num_envs, n, 4)).reshape(bn, 4),
+            "vel": np.zeros((bn, 3), np.float32),
+            "rpy_rates": np.zeros((bn, 3), np.float32),
+            "ang_v": np.zeros((bn, 3), np.float32),
+            "last_rpm": np.zeros((bn, 4), np.float32),
+            "action_buffer": np.zeros((bn, buf_rows), np.float32),
+            "step_counter": np.zeros((num_envs,), np.float32),
+        }
+        carry = pallas_fused.pack_carry(leaves, n, buf_rows, num_envs)
+        obs0 = np.broadcast_to(
+            np.asarray(obs1).reshape(1, n * obs_dim),
+            (num_envs, n * obs_dim))
+        obs0 = jnp.asarray(
+            obs0.reshape(num_envs, n, obs_dim) if obs_layout == "drone"
+            else obs0)
+        return carry, obs0
+
+    def step_fn(carry, action):
+        b = action.shape[0]
+        bp = carry.shape[1]
+        # (B, N, A) -> (N*A, Bp) drone-major action rows
+        a_rows = jnp.transpose(
+            jnp.asarray(action, jnp.float32).reshape(b, n * act_dim))
+        a_rows = a_rows.reshape(n, act_dim, b).reshape(n * act_dim, b)
+        if bp != b:
+            a_rows = jnp.pad(a_rows, ((0, 0), (0, bp - b)))
+        carry, outs = pallas_fused.fused_env_step(
+            cfg.drone, task, cfg, n, cfg.steps_per_ctrl, cfg.pyb_dt,
+            task.act, act_dim, buf_rows, init16, carry, a_rows,
+            cfg.physics, cfg.obstacles)
+        obs, reward, term, trunc = pallas_fused.unpack_outs(
+            outs, n, buf_rows, n_extra, b, obs_layout)
+        return carry, obs, reward, term, trunc
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+        ax = mesh.axis_names[0]
+        inner = step_fn
+
+        def step_fn(carry, action):  # noqa: F811 - sharded wrapper
+            return shard_map(
+                inner, mesh=mesh,
+                in_specs=(PartitionSpec(None, ax), PartitionSpec(ax)),
+                out_specs=(PartitionSpec(None, ax), PartitionSpec(ax),
+                           PartitionSpec(ax), PartitionSpec(ax),
+                           PartitionSpec(ax)),
+                check_vma=False)(carry, action)
+
+    return reset_fn, step_fn

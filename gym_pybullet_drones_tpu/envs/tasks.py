@@ -339,6 +339,22 @@ class HoverTask(RLTask):
         timeout = (flat.step_counter / cfg.pyb_freq) > self.episode_len_sec
         return reward, term, out | timeout
 
+    # ---- fused-kernel row hook (ops/pallas_fused.py) ----
+    def row_post(self, cfg, drones, sc_row):
+        """Reward/term/trunc on (1, B) row vectors (drone 0 scores)."""
+        d0 = drones[0]
+        tx, ty, tz = self.target_pos
+        px, py, pz = d0["p"]
+        roll, pitch, _ = d0["rpy"]
+        dx, dy, dz = tx - px, ty - py, tz - pz
+        d2 = dx * dx + dy * dy + dz * dz
+        reward = jnp.maximum(0.0, 2.0 - d2 * d2)   # ||d||^4 == (||d||^2)^2
+        term = d2 < 1e-8
+        out = (jnp.abs(px) > 1.5) | (jnp.abs(py) > 1.5) | (pz > 2.0) | \
+              (jnp.abs(roll) > 0.4) | (jnp.abs(pitch) > 0.4)
+        timeout = (sc_row / cfg.pyb_freq) > self.episode_len_sec
+        return reward, term, out | timeout
+
 
 @dataclasses.dataclass(frozen=True)
 class MultiHoverTask(RLTask):
@@ -395,4 +411,39 @@ class MultiHoverTask(RLTask):
         timeout = (flat.step_counter / cfg.pyb_freq) > self.episode_len_sec
         trunc = (red[:, 2] > 0) | timeout
         return reward, term, trunc
+
+    # ---- fused-kernel row hook (ops/pallas_fused.py) ----
+    def row_post(self, cfg, drones, sc_row):
+        """Summed reward / summed-distance termination / any-drone
+        truncation as row math (cross-drone reductions are row adds)."""
+        import numpy as _np
+        # numpy replica of cfg.default_init_xyzs (jnp ops would be traced
+        # into the pallas kernel instead of folding to python scalars)
+        if cfg.init_xyzs is not None:
+            init = _np.asarray(cfg.init_xyzs, _np.float32)
+        else:
+            idx = _np.arange(cfg.num_drones, dtype=_np.float32)
+            init = _np.stack(
+                [idx * 4 * cfg.drone.l, idx * 4 * cfg.drone.l,
+                 _np.full_like(idx, cfg.drone.init_z)], axis=-1)
+        reward = None
+        dist_sum = None
+        out_any = None
+        for i, di in enumerate(drones):
+            tx, ty = float(init[i, 0]), float(init[i, 1])
+            tz = float(init[i, 2]) + 1.0 / (i + 1)
+            px, py, pz = di["p"]
+            roll, pitch, _ = di["rpy"]
+            dx, dy, dz = tx - px, ty - py, tz - pz
+            d2 = dx * dx + dy * dy + dz * dz
+            r = jnp.maximum(0.0, 2.0 - d2 * d2)
+            dd = jnp.sqrt(d2)
+            out = (jnp.abs(px) > 2.0) | (jnp.abs(py) > 2.0) | (pz > 2.0) | \
+                  (jnp.abs(roll) > 0.4) | (jnp.abs(pitch) > 0.4)
+            reward = r if reward is None else reward + r
+            dist_sum = dd if dist_sum is None else dist_sum + dd
+            out_any = out if out_any is None else out_any | out
+        term = dist_sum < 1e-4
+        timeout = (sc_row / cfg.pyb_freq) > self.episode_len_sec
+        return reward, term, out_any | timeout
 
