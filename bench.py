@@ -11,8 +11,9 @@ readback of a reduction over the rollout's rewards, so asynchronous
 dispatch (including remote-TPU tunnels) cannot overlap timed work.  The
 chunk size adapts to the measured speed so the benchmark completes quickly
 even when the device link is degraded, while still amortizing per-call
-overhead on a healthy chip.  The hot path is the Pallas-fused DYN control
-step (ops/pallas_dyn.py) under the Hover task logic (envs/fast.py).
+overhead on a healthy chip.  The hot path is the fully-fused env step
+(ops/pallas_fused.py): physics, task logic, obs assembly, and auto-reset
+in ONE Pallas launch per control step with a one-buffer scan carry.
 """
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 
 from gym_pybullet_drones_tpu import params as P
 from gym_pybullet_drones_tpu.envs import AviaryConfig, HoverTask
-from gym_pybullet_drones_tpu.envs.fast import make_batched_step
+from gym_pybullet_drones_tpu.envs.fast import make_fused_rollout
 from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
 
 NUM_ENVS = 4096
@@ -35,7 +36,8 @@ def main():
     cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
                        pyb_freq=240, ctrl_freq=30)
     task = HoverTask(act=ActionType.RPM)
-    reset_fn, step_fn = make_batched_step(cfg, task, NUM_ENVS)
+    reset_fn, step_fn = make_fused_rollout(cfg, task, NUM_ENVS,
+                                           obs_layout="flat")
     state, obs = reset_fn()
 
     def one_step(carry, action):

@@ -389,10 +389,11 @@ def make_fused_rollout(cfg: core.AviaryConfig, task, num_envs: int,
     The carry is an opaque (RC, Bp) f32 row block (lanes = envs, padded to
     128); use make_batched_step for an inspectable EnvState carry.
 
-    Eligibility (falls back is NOT automatic — raises ValueError):
-    float32, KIN observations, RPM/ONE_D_RPM actions, deterministic resets,
-    a task implementing `row_post`.  DYN and all PYB-family physics modes
-    are supported (sphere/box obstacles included).
+    Eligibility (fallback is NOT automatic — raises ValueError):
+    float32, KIN observations, any action type (PID-family actions carry
+    the embedded DSL-PID state as 9 extra in-kernel rows per drone),
+    deterministic resets, a task implementing `row_post`.  DYN and all
+    PYB-family physics modes are supported (sphere/box obstacles included).
     """
     from gym_pybullet_drones_tpu.ops import pallas_fused
     from gym_pybullet_drones_tpu.utils.enums import ObservationType
@@ -402,13 +403,20 @@ def make_fused_rollout(cfg: core.AviaryConfig, task, num_envs: int,
     buf_rows = buf_len * act_dim
     if getattr(task, "obs", None) != ObservationType.KIN:
         raise ValueError("fused rollout requires KIN observations")
-    if task.act not in (ActionType.RPM, ActionType.ONE_D_RPM):
+    if task.act not in (ActionType.RPM, ActionType.ONE_D_RPM,
+                        ActionType.PID, ActionType.VEL,
+                        ActionType.ONE_D_PID):
         raise ValueError(f"fused rollout does not support {task.act} yet")
     if getattr(task, "row_post", None) is None:
         raise ValueError("task has no row_post hook")
     if any(getattr(task, f, 0.0) for f in
            ("reset_pos_noise", "reset_rpy_noise", "reset_vel_noise")):
         raise ValueError("fused rollout requires deterministic resets")
+    if mesh is not None and num_envs % (128 * mesh.size) != 0:
+        # carry lanes are envs: every shard must hold a whole number of
+        # 128-lane tiles or the action/carry shard contents diverge
+        raise ValueError("fused rollout under a mesh needs num_envs "
+                         "divisible by 128 * mesh.size")
 
     # single-env eager reset -> init scalars + packed initial carry
     s1, obs1, _ = jax.jit(lambda: core.reset(cfg, task))()
@@ -434,9 +442,11 @@ def make_fused_rollout(cfg: core.AviaryConfig, task, num_envs: int,
             "ang_v": np.zeros((bn, 3), np.float32),
             "last_rpm": np.zeros((bn, 4), np.float32),
             "action_buffer": np.zeros((bn, buf_rows), np.float32),
+            "pid": np.zeros((bn, 9), np.float32),
             "step_counter": np.zeros((num_envs,), np.float32),
         }
-        carry = pallas_fused.pack_carry(leaves, n, buf_rows, num_envs)
+        carry = pallas_fused.pack_carry(leaves, n, buf_rows, num_envs,
+                                        task.act)
         obs0 = np.broadcast_to(
             np.asarray(obs1).reshape(1, n * obs_dim),
             (num_envs, n * obs_dim))

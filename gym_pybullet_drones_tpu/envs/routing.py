@@ -127,6 +127,74 @@ class RoutingTask(RLTask):
         return reward, term, tilted | timeout
 
 
+    # ---- fused-kernel row hooks (ops/pallas_fused.py) ----
+    # Cross-drone reductions (nearest neighbor, pair separation) are plain
+    # row arithmetic in the envs-in-lanes layout; destinations fold to
+    # compile-time scalars.
+
+    @property
+    def n_extra_obs_rows(self) -> int:
+        return 6  # goal vector + nearest-neighbor displacement
+
+    def row_extra_obs(self, cfg, drones):
+        n = len(drones)
+        extras = []
+        for i in range(n):
+            pi = drones[i]["p"]
+            dest = self.destinations[i]
+            goal = [float(dest[k]) - pi[k] for k in range(3)]
+            # nearest-neighbor displacement pos_j - pos_i; strict < with
+            # ascending j matches the flat hook's lowest-index tie-break
+            best_d2, best = None, None
+            for j in range(n):
+                if j == i:
+                    continue
+                pj = drones[j]["p"]
+                diff = [pj[k] - pi[k] for k in range(3)]
+                d2 = (diff[0] * diff[0] + diff[1] * diff[1]
+                      + diff[2] * diff[2])
+                if best is None:
+                    best_d2, best = d2, diff
+                else:
+                    take = d2 < best_d2
+                    best = [jnp.where(take, diff[k], best[k])
+                            for k in range(3)]
+                    best_d2 = jnp.where(take, d2, best_d2)
+            if best is None:                       # single drone: self row
+                best = [pi[0] * 0.0] * 3
+            extras.append(goal + best)
+        return extras
+
+    def row_post(self, cfg, drones, sc_row):
+        n = len(drones)
+        reward, term_all = None, None
+        tilted_any = None
+        for i in range(n):
+            pi = drones[i]["p"]
+            roll, pitch, _ = drones[i]["rpy"]
+            dest = self.destinations[i]
+            dx = [float(dest[k]) - pi[k] for k in range(3)]
+            d = jnp.sqrt(dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2])
+            arrived = d < self.arrival_tol
+            r = -d + 10.0 * arrived.astype(d.dtype)
+            reward = r if reward is None else reward + r
+            term_all = arrived if term_all is None else term_all & arrived
+            t = (jnp.abs(roll) > 0.8) | (jnp.abs(pitch) > 0.8)
+            tilted_any = t if tilted_any is None else tilted_any | t
+        # separation penalty: each unordered pair counts twice, matching
+        # flat_reward_done's sum over the full (i, j) matrix
+        r2 = self.collision_radius * self.collision_radius
+        for i in range(n):
+            for j in range(i + 1, n):
+                pi, pj = drones[i]["p"], drones[j]["p"]
+                dd = [pi[k] - pj[k] for k in range(3)]
+                d2 = dd[0] * dd[0] + dd[1] * dd[1] + dd[2] * dd[2]
+                close = d2 < r2
+                reward = reward - 10.0 * close.astype(reward.dtype)
+        timeout = (sc_row / cfg.pyb_freq) > self.episode_len_sec
+        return reward, term_all, tilted_any | timeout
+
+
 def make_routing_config(num_drones: int = 4, spacing: float = 0.5,
                         physics=None, pyb_freq: int = 240,
                         ctrl_freq: int = 30):

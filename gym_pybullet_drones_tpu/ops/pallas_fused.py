@@ -40,15 +40,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gym_pybullet_drones_tpu.params import DroneParams
 from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
-from gym_pybullet_drones_tpu.ops import pallas_dyn, pallas_env, pallas_math
+from gym_pybullet_drones_tpu.ops import (pallas_dyn, pallas_env, pallas_math,
+                                         pallas_pid)
 
 LANE = 128
 S = 16    # state rows per drone
 LR = 4    # last-rpm rows per drone
+PR = 9    # embedded-PID carry rows per drone (PID-family actions only)
+
+PID_FAMILY = (ActionType.PID, ActionType.VEL, ActionType.ONE_D_PID)
 
 
-def _layout(n: int, buf_rows: int):
-    per_drone = S + LR + buf_rows
+def _layout(n: int, buf_rows: int, act: ActionType = ActionType.RPM):
+    pid = PR if act in PID_FAMILY else 0
+    per_drone = S + LR + pid + buf_rows
     rc = n * per_drone + 1          # + step-counter row
     return per_drone, rc
 
@@ -57,18 +62,23 @@ def _kernel(params: DroneParams, task, cfg, n: int, n_substeps: int,
             pyb_dt: float, act: ActionType, act_dim: int, buf_rows: int,
             init16, physics: Physics, obstacles,
             c_ref, a_ref, oc_ref, oo_ref):
-    per_drone, _ = _layout(n, buf_rows)
+    per_drone, _ = _layout(n, buf_rows, act)
     hover = params.hover_rpm
+    has_pid = act in PID_FAMILY
+    pid_off = S + LR
+    buf_off = S + LR + (PR if has_pid else 0)
+    ctrl_dt = pyb_dt * n_substeps
 
     # ---- load + action mapping + buffer shift + physics ----
     stepped = []     # per drone: 16 new state rows
     new_bufs = []    # per drone: buf_rows rows (post-push)
+    new_pids = []    # per drone: 9 rows (PID-family actions)
     rpms = []
     for d in range(n):
         base = d * per_drone
         st = [c_ref[base + k:base + k + 1, :] for k in range(S)]
         lr = [c_ref[base + S + k:base + S + k + 1, :] for k in range(LR)]
-        buf = [c_ref[base + S + LR + k:base + S + LR + k + 1, :]
+        buf = [c_ref[base + buf_off + k:base + buf_off + k + 1, :]
                for k in range(buf_rows)]
         a = [a_ref[d * act_dim + k:d * act_dim + k + 1, :]
              for k in range(act_dim)]
@@ -76,6 +86,42 @@ def _kernel(params: DroneParams, task, cfg, n: int, n_substeps: int,
             rpm = [hover * (1.0 + 0.05 * ai) for ai in a]
         elif act == ActionType.ONE_D_RPM:
             rpm = [hover * (1.0 + 0.05 * a[0])] * 4
+        elif has_pid:
+            # embedded DSL-PID tick (always CF2X, QUIRKS.md #2 /
+            # reference BaseRLAviary.py:76); setpoints per
+            # tasks.RLTask._pid_targets
+            from gym_pybullet_drones_tpu.params import CF2X
+            p, q = st[0:3], st[3:7]
+            zero = p[0] * 0.0
+            if act == ActionType.PID:
+                # waypoint clamp (core.next_waypoint; reference
+                # BaseAviary._calculateNextStep :1105-1147)
+                step = float(getattr(task, "step_size", 1.0))
+                dx = [a[k] - p[k] for k in range(3)]
+                dist = jnp.sqrt(dx[0] * dx[0] + dx[1] * dx[1]
+                                + dx[2] * dx[2])
+                safe = jnp.where(dist > 0.0, dist, 1.0)
+                tp = [jnp.where(dist <= step, a[k],
+                                p[k] + dx[k] / safe * step)
+                      for k in range(3)]
+                tgt = tp + [zero] * 9
+            elif act == ActionType.VEL:
+                vx, vy, vz, sf = a
+                norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+                inv = jnp.where(norm > 0.0,
+                                1.0 / jnp.where(norm > 0.0, norm, 1.0),
+                                0.0)
+                mag = cfg.drone.speed_limit * jnp.abs(sf) * inv
+                _, _, yaw = pallas_math.quat_rpy_rows(*q)
+                tgt = (list(p) + [zero, zero, yaw]
+                       + [mag * vx, mag * vy, mag * vz] + [zero] * 3)
+            else:  # ONE_D_PID
+                tgt = [p[0], p[1], p[2] + 0.1 * a[0]] + [zero] * 9
+            pid_rows = [c_ref[base + pid_off + k:base + pid_off + k + 1, :]
+                        for k in range(PR)]
+            rpm, new_pid = pallas_pid._pid_tick(CF2X, ctrl_dt, st,
+                                                pid_rows, tgt)
+            new_pids.append(new_pid)
         else:
             raise NotImplementedError(act)
         rpms.append(rpm)
@@ -125,8 +171,12 @@ def _kernel(params: DroneParams, task, cfg, n: int, n_substeps: int,
         for k in range(LR):
             oc_ref[base + S + k:base + S + k + 1, :] = jnp.where(
                 done, 0.0, rpms[d][k])
+        if has_pid:
+            for k in range(PR):
+                oc_ref[base + pid_off + k:base + pid_off + k + 1, :] = \
+                    jnp.where(done, 0.0, new_pids[d][k])
         for k in range(buf_rows):
-            oc_ref[base + S + LR + k:base + S + LR + k + 1, :] = jnp.where(
+            oc_ref[base + buf_off + k:base + buf_off + k + 1, :] = jnp.where(
                 done, 0.0, new_bufs[d][k])
     oc_ref[n * per_drone:n * per_drone + 1, :] = jnp.where(
         done, 0.0, sc_new)
@@ -153,7 +203,7 @@ def _kernel(params: DroneParams, task, cfg, n: int, n_substeps: int,
             oo_ref[ob + k:ob + k + 1, :] = row
         for k in range(buf_rows):
             oo_ref[ob + 12 + k:ob + 12 + k + 1, :] = \
-                oc_ref[base + S + LR + k:base + S + LR + k + 1, :]
+                oc_ref[base + buf_off + k:base + buf_off + k + 1, :]
         if extras is not None:
             for k, row in enumerate(extras[d]):
                 oo_ref[ob + 12 + buf_rows + k:
@@ -175,7 +225,7 @@ def fused_env_step(params: DroneParams, task, cfg, n: int, n_substeps: int,
     carry: (RC, Bp) f32 row block (see module docstring; Bp % 128 == 0);
     action_rows: (n*act_dim, Bp).  Returns (carry', outs (RO, Bp)).
     """
-    per_drone, rc = _layout(n, buf_rows)
+    per_drone, rc = _layout(n, buf_rows, act)
     assert carry.shape[0] == rc, (carry.shape, rc)
     bp = carry.shape[1]
     extra_fn = getattr(task, "row_extra_obs", None)
@@ -211,10 +261,13 @@ def fused_env_step(params: DroneParams, task, cfg, n: int, n_substeps: int,
     return carry_out, outs
 
 
-def pack_carry(state_leaves, n: int, buf_rows: int, b: int):
+def pack_carry(state_leaves, n: int, buf_rows: int, b: int,
+               act: ActionType = ActionType.RPM):
     """numpy EnvState-like leaves (flattened (B*N, k), env-major) ->
     (RC, Bp) drone-major row block."""
-    per_drone, rc = _layout(n, buf_rows)
+    per_drone, rc = _layout(n, buf_rows, act)
+    has_pid = act in PID_FAMILY
+    buf_off = S + LR + (PR if has_pid else 0)
     pad = (-b) % LANE
     bp = b + pad
     blk = np.zeros((rc, bp), np.float32)
@@ -223,13 +276,16 @@ def pack_carry(state_leaves, n: int, buf_rows: int, b: int):
          state_leaves["rpy_rates"], state_leaves["ang_v"]], axis=-1)
     lrpm = state_leaves["last_rpm"]
     buf = state_leaves["action_buffer"]            # (B*N, BUF*A)
+    pid = state_leaves.get("pid")                  # (B*N, 9) or None
     for d in range(n):
         rows = flat16[d::n].T                      # (16, B) env-major slice
         base = d * per_drone
         blk[base:base + S, :b] = rows
         blk[base + S:base + S + LR, :b] = lrpm[d::n].T
+        if has_pid and pid is not None:
+            blk[base + S + LR:base + S + LR + PR, :b] = pid[d::n].T
         if buf_rows:
-            blk[base + S + LR:base + S + LR + buf_rows, :b] = buf[d::n].T
+            blk[base + buf_off:base + buf_off + buf_rows, :b] = buf[d::n].T
     blk[n * per_drone, :b] = np.asarray(
         state_leaves["step_counter"], np.float32)
     return jnp.asarray(blk)

@@ -25,12 +25,22 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def _env_sharding(env_state, mesh: Mesh, axis_name: str) -> NamedSharding:
+    """Sharding for env-state leaves.  EnvState pytrees carry the env axis
+    leading; the fused rollout carry (ops/pallas_fused.py) is a single
+    (rows, envs) block with envs in the LANE (trailing) axis."""
+    if not isinstance(env_state, tuple):     # packed fused carry
+        return NamedSharding(mesh, P(None, axis_name))
+    return NamedSharding(mesh, P(axis_name))
+
+
 def shard_train_state(ts: TrainState, mesh: Mesh,
                       axis_name: str = "data") -> TrainState:
     """Place a TrainState onto the mesh: env axis sharded, rest replicated."""
     data = NamedSharding(mesh, P(axis_name))
+    env = _env_sharding(ts.env_state, mesh, axis_name)
     repl = NamedSharding(mesh, P())
-    env_state = jax.tree.map(lambda x: jax.device_put(x, data), ts.env_state)
+    env_state = jax.tree.map(lambda x: jax.device_put(x, env), ts.env_state)
     last_obs = jax.device_put(ts.last_obs, data)
     params = jax.tree.map(lambda x: jax.device_put(x, repl), ts.params)
     opt_state = jax.tree.map(lambda x: jax.device_put(x, repl), ts.opt_state)
@@ -52,14 +62,15 @@ def make_sharded_update(update_fn, mesh: Mesh, axis_name: str = "data"):
     repl = NamedSharding(mesh, P())
 
     def constrained(ts: TrainState):
+        env = _env_sharding(ts.env_state, mesh, axis_name)
         env_state = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, data),
+            lambda x: jax.lax.with_sharding_constraint(x, env),
             ts.env_state)
         last_obs = jax.lax.with_sharding_constraint(ts.last_obs, data)
         ts = ts._replace(env_state=env_state, last_obs=last_obs)
         new_ts, metrics = update_fn(ts)
         env_state = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, data),
+            lambda x: jax.lax.with_sharding_constraint(x, env),
             new_ts.env_state)
         new_ts = new_ts._replace(
             env_state=env_state,

@@ -105,14 +105,24 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
         else:
             network = ActorCritic(action_dim=act_dim)
 
-    # throughput path: Pallas-fused physics for DYN configs, vmapped core
-    # otherwise (envs/fast.py falls back transparently)
-    from gym_pybullet_drones_tpu.envs.fast import make_batched_step
-    # obs_layout="flat": the policy consumes flattened observations, so
-    # skip the padded (B, N, D) relayout in the env step (envs/fast.py)
-    batched_reset, batched_step = make_batched_step(
-        env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype, mesh=mesh,
-        obs_layout="flat")
+    # throughput path, fastest first: the fully-fused one-launch env step
+    # (ops/pallas_fused.py) when the (cfg, task, dtype) combination is
+    # eligible, else the batched step (Pallas physics for DYN, vmapped core
+    # otherwise).  obs_layout="flat": the policy consumes flattened
+    # observations, so skip the padded (B, N, D) relayout in the env step.
+    from gym_pybullet_drones_tpu.envs.fast import (make_batched_step,
+                                                   make_fused_rollout)
+    batched_reset = batched_step = None
+    if dtype == jnp.float32:
+        try:
+            batched_reset, batched_step = make_fused_rollout(
+                env_cfg, task, ppo.num_envs, mesh=mesh, obs_layout="flat")
+        except ValueError:
+            pass  # ineligible (RGB obs, randomized resets, ...)
+    if batched_step is None:
+        batched_reset, batched_step = make_batched_step(
+            env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype,
+            mesh=mesh, obs_layout="flat")
 
     if ppo.anneal_lr:
         total_opt_steps = (ppo.num_updates * ppo.update_epochs

@@ -80,8 +80,35 @@ def test_fused_pyb_physics_parity():
              scale=0.05)
 
 
+def test_fused_pid_action_parity():
+    """Embedded DSL-PID runs in-kernel (9 carry rows per drone)."""
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    _compare(cfg, HoverTask(act=ActionType.ONE_D_PID), 8, steps=6,
+             scale=0.3, atol=5e-5)
+
+
+def test_fused_vel_action_parity():
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    _compare(cfg, HoverTask(act=ActionType.VEL), 8, steps=6,
+             scale=0.3, atol=5e-5)
+
+
+def test_fused_routing_parity():
+    """RoutingTask: PID waypoint actions + PYB physics + extra obs rows."""
+    from gym_pybullet_drones_tpu.envs import make_routing_config
+    cfg, task = make_routing_config(num_drones=3, spacing=0.4)
+    _compare(cfg, task, 4, steps=6, scale=0.3, atol=5e-5)
+
+
 def test_fused_rejects_ineligible():
     cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
                        pyb_freq=240, ctrl_freq=30)
+    from gym_pybullet_drones_tpu.utils.enums import ObservationType
     with pytest.raises(ValueError):
-        make_fused_rollout(cfg, HoverTask(act=ActionType.PID), 8)
+        make_fused_rollout(
+            cfg, HoverTask(act=ActionType.RPM, reset_pos_noise=0.1), 8)
+    with pytest.raises(ValueError):
+        make_fused_rollout(
+            cfg, HoverTask(act=ActionType.RPM, obs=ObservationType.RGB), 8)

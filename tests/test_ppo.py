@@ -84,8 +84,9 @@ def test_sharded_update_on_cpu_mesh():
     sharded_update = make_sharded_update(update, mesh)
     ts2, metrics = sharded_update(ts)
     assert np.isfinite(float(metrics["mean_reward"]))
-    # env state stays sharded across devices
-    leaf = ts2.env_state.pos
+    # env state stays sharded across devices (first leaf; the env state is
+    # an EnvState pytree or the packed fused-rollout carry)
+    leaf = jax.tree.leaves(ts2.env_state)[0]
     assert len(leaf.sharding.device_set) == 8
 
 
@@ -100,7 +101,8 @@ def test_sharded_update_with_shard_mapped_env_step():
     sharded_update = make_sharded_update(update, mesh)
     ts2, metrics = sharded_update(ts)
     assert np.isfinite(float(metrics["mean_reward"]))
-    assert len(ts2.env_state.pos.sharding.device_set) == 8
+    leaf = jax.tree.leaves(ts2.env_state)[0]
+    assert len(leaf.sharding.device_set) == 8
     # same math as the unsharded path
     init_u, update_u, _, _ = make_train(cfg, task, ppo)
     ts_u, m_u = jax.jit(update_u)(init_u(jax.random.key(4)))
