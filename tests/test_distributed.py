@@ -25,6 +25,10 @@ def test_two_process_global_mesh():
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    # the worker is a script (sys.path[0] = tests/); make the package
+    # importable without requiring an installed wheel
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(WORKER)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(rank), "2", str(port)],
