@@ -23,7 +23,14 @@ from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
 
 
 def _bench_env(cfg, task, num_envs, chunk=1024, repeats=3, act_dim=4):
-    reset_fn, step_fn = make_batched_step(cfg, task, num_envs)
+    # prefer the fully-fused one-launch step (ops/pallas_fused.py) — the
+    # same path rl/ppo.py trains on — and fall back to the batched path
+    # for configurations the fused kernel does not cover
+    try:
+        from gym_pybullet_drones_tpu.envs.fast import make_fused_rollout
+        reset_fn, step_fn = make_fused_rollout(cfg, task, num_envs)
+    except ValueError:
+        reset_fn, step_fn = make_batched_step(cfg, task, num_envs)
     state, obs = reset_fn()
 
     def one_step(carry, action):
@@ -52,26 +59,27 @@ def _bench_env(cfg, task, num_envs, chunk=1024, repeats=3, act_dim=4):
 def main():
     results = []
 
-    # MultiHover: 2-drone multi-agent, 2048 envs
+    # MultiHover: 2-drone multi-agent, 8192 envs (fused-path lanes are
+    # envs; small batches leave the kernel row-bound — see SCALING.md)
     cfg = AviaryConfig(drone=P.CF2X, num_drones=2, physics=Physics.DYN,
                        pyb_freq=240, ctrl_freq=30)
-    rate = _bench_env(cfg, MultiHoverTask(act=ActionType.RPM), 2048)
-    results.append({"metric": "env_steps_per_sec_multihover2x2048",
+    rate = _bench_env(cfg, MultiHoverTask(act=ActionType.RPM), 8192)
+    results.append({"metric": "env_steps_per_sec_multihover2x8192",
                     "value": round(rate, 1), "unit": "env-steps/s",
                     "vs_baseline": round(rate / 1e7, 4)})
 
-    # Routing fleet: 4-drone PID-routing, 512 envs (fused PID+DYN kernel)
+    # Routing fleet: 4-drone PID-routing, 4096 envs (fused PID+DYN kernel)
     cfg, task = make_routing_config(num_drones=4, physics=Physics.DYN)
-    rate = _bench_env(cfg, task, 512, chunk=1024, act_dim=3)
-    results.append({"metric": "env_steps_per_sec_routing4x512",
+    rate = _bench_env(cfg, task, 4096, chunk=1024, act_dim=3)
+    results.append({"metric": "env_steps_per_sec_routing4x4096",
                     "value": round(rate, 1), "unit": "env-steps/s",
                     "vs_baseline": round(rate / 1e7, 4)})
 
-    # Routing DEFAULT config: PYB physics + embedded PID + contact, fused
-    # envs-in-lanes kernel (ops/pallas_env.py)
+    # Routing DEFAULT config: PYB physics + embedded PID + contact, in the
+    # fully-fused one-launch kernel (ops/pallas_fused.py)
     cfg, task = make_routing_config(num_drones=4)
-    rate = _bench_env(cfg, task, 512, chunk=1024, act_dim=3)
-    results.append({"metric": "env_steps_per_sec_routing4x512_pyb",
+    rate = _bench_env(cfg, task, 4096, chunk=1024, act_dim=3)
+    results.append({"metric": "env_steps_per_sec_routing4x4096_pyb",
                     "value": round(rate, 1), "unit": "env-steps/s",
                     "vs_baseline": round(rate / 1e7, 4)})
 
@@ -87,13 +95,15 @@ def main():
     # PPO learner throughput: env-steps consumed per second of training
     cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
                        pyb_freq=240, ctrl_freq=30)
-    ppo = PPOConfig(num_envs=2048, rollout_steps=64, num_minibatches=4,
+    ppo = PPOConfig(num_envs=8192, rollout_steps=64, num_minibatches=4,
                     update_epochs=4)
     init, update, _, _ = make_train(cfg, HoverTask(act=ActionType.RPM), ppo)
     ts = init(jax.random.key(0))
-    # chunked training: 8 updates per launch (update.many) so the remote
-    # dispatch cost is amortized exactly as a real training loop would
-    n_chain = 8
+    # chunked training: 32 updates per launch (update.many) so the remote
+    # dispatch cost (~26 ms/launch through the tunnel, measured vs a
+    # trivial jitted readback) is amortized exactly as a real training
+    # loop would; per-update on-device compute is ~13 ms at 8192 envs
+    n_chain = 32
     upd = jax.jit(update.many, static_argnums=1)
     ts, m = upd(ts, n_chain)
     float(m["mean_reward"][-1])
@@ -104,7 +114,7 @@ def main():
         float(m["mean_reward"][-1])
         best = max(best, n_chain * ppo.batch_size
                    / (time.perf_counter() - t0))
-    results.append({"metric": "ppo_env_steps_per_sec_hover2048",
+    results.append({"metric": "ppo_env_steps_per_sec_hover8192",
                     "value": round(best, 1), "unit": "env-steps/s",
                     "vs_baseline": round(best / 1e7, 4)})
 
