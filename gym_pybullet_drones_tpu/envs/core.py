@@ -101,20 +101,24 @@ class AviaryConfig:
     def ctrl_dt(self) -> float:
         return 1.0 / self.ctrl_freq
 
-    def default_init_xyzs(self) -> jnp.ndarray:
-        """Reference default spawn grid (BaseAviary.py:194-197)."""
+    def default_init_xyzs(self, dtype=jnp.float32) -> jnp.ndarray:
+        """Reference default spawn grid (BaseAviary.py:194-197).
+
+        Computed natively in `dtype` (not computed in f32 then cast) so the
+        float64 parity harness sees the reference's exact double values.
+        """
         if self.init_xyzs is not None:
-            return jnp.asarray(self.init_xyzs, jnp.float32)
+            return jnp.asarray(self.init_xyzs, dtype)
         d = self.drone
-        i = jnp.arange(self.num_drones, dtype=jnp.float32)
+        i = jnp.arange(self.num_drones, dtype=dtype)
         return jnp.stack(
             [i * 4 * d.l, i * 4 * d.l,
              jnp.full_like(i, d.init_z)], axis=-1)
 
-    def default_init_rpys(self) -> jnp.ndarray:
+    def default_init_rpys(self, dtype=jnp.float32) -> jnp.ndarray:
         if self.init_rpys is not None:
-            return jnp.asarray(self.init_rpys, jnp.float32)
-        return jnp.zeros((self.num_drones, 3), jnp.float32)
+            return jnp.asarray(self.init_rpys, dtype)
+        return jnp.zeros((self.num_drones, 3), dtype)
 
 
 def state_vector(state: EnvState) -> jnp.ndarray:
@@ -228,8 +232,8 @@ def reset(cfg: AviaryConfig, task, key: jax.Array | None = None,
     randomized auto-resets inside jitted rollouts.
     """
     n = cfg.num_drones
-    xyz = cfg.default_init_xyzs().astype(dtype)
-    rpy = cfg.default_init_rpys().astype(dtype)
+    xyz = cfg.default_init_xyzs(dtype)
+    rpy = cfg.default_init_rpys(dtype)
     quat = quat_ops.rpy_to_quat(rpy)
     buf_size, act_dim = task.action_buffer_shape(cfg)
     if key is None:
@@ -274,12 +278,16 @@ def step(cfg: AviaryConfig, task, state: EnvState, action: jnp.ndarray):
         state, _ = jax.lax.scan(
             lambda s, _: (_apply_physics_substep(cfg, s, rpm), None),
             state, None, length=cfg.steps_per_ctrl)
-    state = state._replace(
-        step_counter=state.step_counter + cfg.steps_per_ctrl)
+    # Hooks see the PRE-increment step counter: the reference advances
+    # step_counter only after obs/reward/terminated/truncated
+    # (BaseAviary.py:376-382), so a task's time-based truncation counts the
+    # substeps of *previous* control steps only.
     obs = task.compute_obs(cfg, state)
     reward = task.compute_reward(cfg, state)
     terminated = task.compute_terminated(cfg, state)
     truncated = task.compute_truncated(cfg, state)
+    state = state._replace(
+        step_counter=state.step_counter + cfg.steps_per_ctrl)
     return state, obs, reward, terminated, truncated, {}
 
 

@@ -314,9 +314,10 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         else:
             rpm, flat = _pre(flat, action)
             flat, obs12 = _physics(flat, rpm)
+        # hooks see the PRE-increment counter (reference BaseAviary.py:376-382)
+        obs, reward, term, trunc = _post(flat, obs12)
         flat = flat._replace(
             step_counter=flat.step_counter + cfg.steps_per_ctrl)
-        obs, reward, term, trunc = _post(flat, obs12)
         if not autoreset:
             return flat, _finalize_obs(obs), reward, term, trunc
         done = jnp.logical_or(term, trunc)                     # (B,)

@@ -119,6 +119,11 @@ class FunctionalAviary(gym.Env):
 
     def step(self, action):
         action = jnp.asarray(action, self.dtype)
+        if self.state is None:
+            # The reference engine is steppable straight after construction
+            # (BaseAviary.__init__ runs _housekeeping, :211-214; e.g.
+            # examples/beta.py steps without calling reset())
+            self.state, _, _ = self._reset()
         if self.RECORD and \
                 int(self.state.step_counter) % self.CAPTURE_FREQ == 0:
             self._capture_frame()

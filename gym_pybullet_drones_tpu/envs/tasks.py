@@ -368,7 +368,7 @@ class MultiHoverTask(RLTask):
     episode_len_sec: float = 8.0
 
     def _targets(self, cfg, state):
-        init = cfg.default_init_xyzs().astype(state.pos.dtype)
+        init = cfg.default_init_xyzs(state.pos.dtype)
         i = jnp.arange(cfg.num_drones, dtype=state.pos.dtype)
         off = jnp.stack([jnp.zeros_like(i), jnp.zeros_like(i),
                          1.0 / (i + 1)], axis=-1)
@@ -392,7 +392,7 @@ class MultiHoverTask(RLTask):
 
     def flat_reward_done(self, cfg, flat, rpy, num_envs, num_drones):
         b, n = num_envs, num_drones
-        init = cfg.default_init_xyzs().astype(flat.pos.dtype)  # (N, 3)
+        init = cfg.default_init_xyzs(flat.pos.dtype)  # (N, 3)
         i = jnp.arange(n, dtype=flat.pos.dtype)
         tgt = init.at[:, 2].add(1.0 / (i + 1))                 # (N, 3)
         d = jnp.linalg.norm(jnp.tile(tgt, (b, 1)) - flat.pos,

@@ -159,7 +159,9 @@ def _kernel(params: DroneParams, task, cfg, n: int, n_substeps: int,
         roll, pitch, yaw = pallas_math.quat_rpy_rows(*o[3:7])
         dinfo.append({"p": o[0:3], "rpy": (roll, pitch, yaw),
                       "v": o[7:10], "w": o[13:16]})
-    reward, term, trunc = task.row_post(cfg, dinfo, sc_new)
+    # row_post sees the PRE-increment substep counter: the reference advances
+    # step_counter only after the termination hooks (BaseAviary.py:376-382)
+    reward, term, trunc = task.row_post(cfg, dinfo, sc_row)
     done = term | trunc
 
     # ---- auto-reset select + write carry ----

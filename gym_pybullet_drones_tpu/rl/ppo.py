@@ -10,7 +10,11 @@ env batch axis is the data-parallel shard axis at pod scale
 
 Hyperparameters default to SB3 PPO defaults (lr 3e-4, n_steps per env,
 minibatches, 10 epochs, gamma .99, gae_lambda .95, clip .2, vf 0.5,
-max_grad_norm 0.5) so learn.py-style workflows transfer.
+max_grad_norm 0.5) so learn.py-style workflows transfer.  Minibatch
+SEMANTICS differ from SB3 by default (random timestep subsets instead of a
+flattened (T*E) shuffle — the communication-free choice on an env-sharded
+mesh); set PPOConfig(sb3_minibatching=True) for SB3's exact shuffle on a
+single host.
 """
 from __future__ import annotations
 
@@ -41,6 +45,14 @@ class PPOConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     anneal_lr: bool = False
+    # SB3-exact minibatch semantics: shuffle the flattened (T*E) batch each
+    # epoch (stable-baselines3 RolloutBuffer.get).  Default False = time-axis
+    # minibatching (random timestep subsets, all envs per minibatch), which
+    # is communication-free at pod scale — the flattened shuffle would
+    # gather the rollout across the env-sharded mesh axis every epoch.
+    # Single-host users wanting SB3-identical gradient statistics (reference
+    # examples/learn.py:72-94 semantics) set True.
+    sb3_minibatching: bool = False
 
     def __post_init__(self):
         if self.rollout_steps % self.num_minibatches != 0:
@@ -204,28 +216,56 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
         _, _, last_value = network.apply(ts.params, last_obs)
         advantages, returns = _gae(traj, last_value)
 
-        # ---- minibatching over the TIME axis ----
-        # Minibatches are random subsets of rollout timesteps (all envs per
+        # ---- minibatching ----
+        # Default: random subsets of rollout TIMESTEPS (all envs per
         # minibatch).  The env axis is the data-parallel shard axis at pod
         # scale: permuting the flattened (T*E) batch would gather the whole
         # rollout across devices every epoch, while time-axis permutation is
         # over a replicated axis and costs no communication — the only
         # cross-shard traffic per minibatch is the gradient all-reduce.
-        mb_t = max(1, ppo.rollout_steps // ppo.num_minibatches)
+        # sb3_minibatching=True: SB3's exact flattened-(T*E) shuffle, for
+        # single-host runs that must reproduce SB3 gradient statistics.
+        if ppo.sb3_minibatching:
+            total = ppo.rollout_steps * ppo.num_envs
+            mb_size = total // ppo.num_minibatches
+            flat = jax.tree.map(
+                lambda x: x.reshape((total,) + x.shape[2:]), traj)
+            flat_adv = advantages.reshape(total)
+            flat_ret = returns.reshape(total)
+        else:
+            mb_t = max(1, ppo.rollout_steps // ppo.num_minibatches)
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            perm = jax.random.permutation(sub, ppo.rollout_steps)
+            if ppo.sb3_minibatching:
+                perm = jax.random.permutation(sub, total)
+            else:
+                perm = jax.random.permutation(sub, ppo.rollout_steps)
 
             def minibatch(carry, idx):
                 params, opt_state = carry
-                take = jax.lax.dynamic_slice_in_dim(perm, idx * mb_t, mb_t)
-                mb = jax.tree.map(
-                    lambda x: x[take].reshape((-1,) + x.shape[2:]), traj)
+                if ppo.sb3_minibatching:
+                    take = jax.lax.dynamic_slice_in_dim(
+                        perm, idx * mb_size, mb_size)
+                    mb = jax.tree.map(lambda x: x[take], flat)
+                    adv, ret = flat_adv[take], flat_ret[take]
+                else:
+                    take = jax.lax.dynamic_slice_in_dim(
+                        perm, idx * mb_t, mb_t)
+                    # Merge (T_mb, E) ENV-MAJOR: the env axis is the mesh
+                    # shard axis, and GSPMD can only express the sharding of
+                    # a merged dimension when the sharded axis is major — a
+                    # plain (T_mb, E) -> (T_mb*E) reshape forces an
+                    # all-gather of every minibatch (observed in the round-2
+                    # HLO audit, tests/test_collectives.py).
+                    merge = lambda x: jnp.swapaxes(x, 0, 1).reshape(
+                        (-1,) + x.shape[2:])
+                    mb = jax.tree.map(lambda x: merge(x[take]), traj)
+                    adv = merge(advantages[take])
+                    ret = merge(returns[take])
                 grads, aux = jax.grad(_loss, has_aux=True)(
-                    params, mb, advantages[take].reshape(-1),
-                    returns[take].reshape(-1))
+                    params, mb, adv, ret)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux

@@ -71,15 +71,17 @@ def test_hover_truncation_on_timeout():
     env.reset()
     a = np.zeros((1, 4), np.float32)
     truncs = []
-    for i in range(8 * 30 + 1):
+    for i in range(8 * 30 + 2):
         obs, r, te, tr, _ = env.step(a)
         truncs.append(tr)
         if tr:
             break
-    # hovering-ish action is 0 -> hover_rpm, drone rises slowly; timeout at
-    # step_counter/240 > 8 -> after 241*8 = ... with ctrl 30: 8s = 240 steps
+    # Timeout semantics (verified against the executed reference in
+    # test_reference_parity): hooks see the PRE-increment step counter
+    # (BaseAviary.py:376-382), so trunc first fires on the 242nd ctrl step
+    # (i=241: counter=241*8 -> 241*8/240 > 8).
     assert truncs[-1]
-    assert len(truncs) == 8 * 30 + 1 or len(truncs) < 8 * 30 + 1
+    assert len(truncs) == 8 * 30 + 2
 
 
 def test_hover_truncation_on_tilt_or_box():

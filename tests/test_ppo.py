@@ -47,20 +47,61 @@ def test_ppo_update_many_chains_updates():
     assert np.all(np.isfinite(np.asarray(metrics["pg_loss"])))
 
 
-def test_ppo_improves_reward():
-    """A few updates on Hover should raise mean reward above the initial."""
-    cfg, task, ppo = _setup(num_envs=16, rollout=32)
+def test_ppo_seeded_reward_floor():
+    """Seeded fixed-budget learning gate (VERDICT round-1 item #9).
+
+    With a fixed PRNG seed the whole program is deterministic, so this is a
+    regression floor, not a statistical test: 40 updates (81,920 env steps)
+    on Hover(ONE_D_RPM) from seed 1 must end clearly above the do-nothing
+    reward level (~1.37 at the spawn point) and above the first update.
+    Calibrated headroom: the seeded run reaches ~1.79 at update 40.
+    """
+    import dataclasses as dc
+    cfg, task, ppo = _setup(num_envs=32, rollout=64)
+    task = dc.replace(task, act=ActionType.ONE_D_RPM)
+    ppo = dc.replace(ppo, num_minibatches=4, update_epochs=10)
     init, update, evaluate, network = make_train(cfg, task, ppo)
     ts = init(jax.random.key(1))
-    upd = jax.jit(update)
-    first = None
-    for i in range(12):
-        ts, metrics = upd(ts)
-        if first is None:
-            first = float(metrics["mean_reward"])
-    last = float(metrics["mean_reward"])
+    upd = jax.jit(update.many, static_argnums=1)
+    ts, metrics = upd(ts, 40)
+    rewards = np.asarray(metrics["mean_reward"])
+    first, last = float(rewards[0]), float(rewards[-1])
     assert np.isfinite(last)
-    assert last > first - 0.1  # no collapse; typically a clear improvement
+    assert last > first + 0.1, (first, last)
+    assert last > 1.55, f"seeded floor regression: final reward {last}"
+
+
+def test_sb3_minibatching_matches_time_axis_at_one_minibatch():
+    """With num_minibatches=1 both semantics see the identical full batch,
+    so one update must produce (numerically) the same parameters."""
+    import dataclasses as dc
+    cfg, task, ppo = _setup(num_envs=8, rollout=16)
+    ppo1 = dc.replace(ppo, num_minibatches=1, update_epochs=2)
+    ppo2 = dc.replace(ppo1, sb3_minibatching=True)
+    init1, update1, *_ = make_train(cfg, task, ppo1)
+    init2, update2, *_ = make_train(cfg, task, ppo2)
+    ts1 = init1(jax.random.key(3))
+    ts2 = init2(jax.random.key(3))
+    ts1, m1 = jax.jit(update1)(ts1)
+    ts2, m2 = jax.jit(update2)(ts2)
+    flat1 = jax.tree.leaves(ts1.params)
+    flat2 = jax.tree.leaves(ts2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_sb3_minibatching_learns():
+    """The SB3-exact shuffle path trains without degradation."""
+    import dataclasses as dc
+    cfg, task, ppo = _setup(num_envs=16, rollout=32)
+    ppo = dc.replace(ppo, sb3_minibatching=True)
+    init, update, *_ = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(1))
+    ts, metrics = jax.jit(update.many, static_argnums=1)(ts, 12)
+    rewards = np.asarray(metrics["mean_reward"])
+    assert np.all(np.isfinite(rewards))
+    assert float(rewards[-1]) > float(rewards[0]) - 0.1
 
 
 def test_evaluate_returns():
