@@ -216,7 +216,7 @@ def _apply_physics_substep(cfg: AviaryConfig, state: EnvState,
         # stepped, :862-872)
         from gym_pybullet_drones_tpu.ops.rigid_body import (
             resolve_drone_collisions)
-        pos, vel = resolve_drone_collisions(d, pos, vel)
+        pos, vel = resolve_drone_collisions(d, pos, vel, dt)
     return state._replace(pos=pos, quat=out.quat, vel=vel,
                           ang_v=out.ang_v, last_rpm=rpm)
 

@@ -6,7 +6,7 @@ PYB-family modes couple drones within an env — downwash pairs
 (reference BaseAviary.py:785-811) and Bullet-style drone-drone contact —
 so this kernel uses the other natural TPU layout: **envs in lanes, drones
 in rows**.  Every per-drone component is a (1, B) row; cross-drone terms
-(downwash, pairwise collision pushout) are ordinary row arithmetic unrolled
+(downwash, pairwise collision impulses) are ordinary row arithmetic unrolled
 over the static drone count.  One launch per control step runs:
 
     [optional cascaded DSL-PID per drone (pallas_pid._pid_tick)]
@@ -37,7 +37,8 @@ from gym_pybullet_drones_tpu.params import DroneParams
 from gym_pybullet_drones_tpu.utils.enums import DroneModel, Physics
 from gym_pybullet_drones_tpu.ops import pallas_dyn, pallas_pid
 from gym_pybullet_drones_tpu.ops.rigid_body import (
-    LINEAR_DAMPING, ANGULAR_DAMPING, GROUND_FRICTION)
+    LINEAR_DAMPING, ANGULAR_DAMPING, GROUND_FRICTION, CONTACT_ERP,
+    SOLVER_ITERATIONS, CONTACT_SLOP)
 
 LANE = 128
 S_ROWS = 16   # pos3 quat4 vel3 rpy_rates3 ang_v3 per drone
@@ -47,6 +48,36 @@ TGT_ROWS = 12
 _GND_MODES = (Physics.PYB_GND, Physics.PYB_GND_DRAG_DW)
 _DRAG_MODES = (Physics.PYB_DRAG, Physics.PYB_GND_DRAG_DW)
 _DW_MODES = (Physics.PYB_DW, Physics.PYB_GND_DRAG_DW)
+
+
+def _mv(r, v):
+    """Rotation-rows 9-tuple @ 3-tuple."""
+    return (r[0] * v[0] + r[1] * v[1] + r[2] * v[2],
+            r[3] * v[0] + r[4] * v[1] + r[5] * v[2],
+            r[6] * v[0] + r[7] * v[1] + r[8] * v[2])
+
+
+def _mtv(r, v):
+    """Transposed rotation-rows @ 3-tuple (world -> body)."""
+    return (r[0] * v[0] + r[3] * v[1] + r[6] * v[2],
+            r[1] * v[0] + r[4] * v[1] + r[7] * v[2],
+            r[2] * v[0] + r[5] * v[1] + r[8] * v[2])
+
+
+def _cr(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _iinv_w(r, j_inv, v):
+    """World inverse inertia: R (J^-1 (R^T v)) on 3-tuples of rows."""
+    b = _mtv(r, v)
+    return _mv(r, (j_inv[0] * b[0], j_inv[1] * b[1], j_inv[2] * b[2]))
 
 
 def _rot_rows(qx, qy, qz, qw):
@@ -75,7 +106,6 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
     offs = params.prop_offsets                        # ((ox, oy, oz) x4)
     lin_damp = (1.0 - LINEAR_DAMPING) ** dt
     ang_damp = (1.0 - ANGULAR_DAMPING) ** dt
-    tang = max(1.0 - GROUND_FRICTION * dt * 60.0, 0.0)
 
     # ---- pre-substep rotations (shared by force terms) ----
     rots = [_rot_rows(*d["q"]) for d in drones]
@@ -171,7 +201,13 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
 
     # ---- integrate every drone (ops/rigid_body.pyb_step) ----
     inv_m = 1.0 / params.m
+    j_diag = (params.ixx, params.iyy, params.izz)
     j_inv = (1.0 / params.ixx, 1.0 / params.iyy, 1.0 / params.izz)
+    mu = GROUND_FRICTION
+    beta = CONTACT_ERP / dt
+    inv_dt = 1.0 / dt
+    rc, h2 = params.collision_r, params.collision_h / 2
+    zoff = params.collision_z_offset
     for di, d in enumerate(drones):
         r = rots[di]
         fx, fy, fz = forces[di]
@@ -180,16 +216,142 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
         v[0] = (v[0] + dt * fx * inv_m) * lin_damp
         v[1] = (v[1] + dt * fy * inv_m) * lin_damp
         v[2] = (v[2] + dt * (fz * inv_m - 9.8)) * lin_damp
-        # I_w^-1 tau: R (J^-1 (R^T tau))
-        tbx = r[0] * tx + r[3] * ty + r[6] * tz
-        tby = r[1] * tx + r[4] * ty + r[7] * tz
-        tbz = r[2] * tx + r[5] * ty + r[8] * tz
-        dbx, dby, dbz = j_inv[0] * tbx, j_inv[1] * tby, j_inv[2] * tbz
+        # body torque with the gyroscopic bias (rigid_body.pyb_step):
+        # dw_b = J^-1 (R^T tau - w_b x (J w_b))
         w = d["w"]
-        w[0] = (w[0] + dt * (r[0] * dbx + r[1] * dby + r[2] * dbz)) * ang_damp
-        w[1] = (w[1] + dt * (r[3] * dbx + r[4] * dby + r[5] * dbz)) * ang_damp
-        w[2] = (w[2] + dt * (r[6] * dbx + r[7] * dby + r[8] * dbz)) * ang_damp
+        tb = _mtv(r, (tx, ty, tz))
+        wb = _mtv(r, (w[0], w[1], w[2]))
+        gy = _cr(wb, (j_diag[0] * wb[0], j_diag[1] * wb[1],
+                      j_diag[2] * wb[2]))
+        db = (j_inv[0] * (tb[0] - gy[0]), j_inv[1] * (tb[1] - gy[1]),
+              j_inv[2] * (tb[2] - gy[2]))
+        dw = _mv(r, db)
+        w[0] = (w[0] + dt * dw[0]) * ang_damp
+        w[1] = (w[1] + dt * dw[1]) * ang_damp
+        w[2] = (w[2] + dt * dw[2]) * ang_damp
+
+        # ---- contact solve on the PRE-substep pose (rigid_body PGS) ----
         p = d["p"]
+        arms, pens = [], []
+        for cx, cy in ((rc, 0.0), (0.0, rc), (-rc, 0.0), (0.0, -rc)):
+            arm = _mv(r, (cx, cy, zoff - h2))
+            arms.append(arm)
+            pens.append(-(p[2] + arm[2]))
+        zero = jnp.zeros_like(p[2])
+        nvec = (zero, zero, zero + 1.0)
+        t1v = (zero + 1.0, zero, zero)
+        t2v = (zero, zero + 1.0, zero)
+        kn, kt1, kt2 = [], [], []
+        for arm in arms:
+            rxn = _cr(arm, nvec)
+            kn.append(inv_m + _dot3(_cr(_iinv_w(r, j_inv, rxn), arm), nvec))
+            rxt = _cr(arm, t1v)
+            kt1.append(inv_m + _dot3(_cr(_iinv_w(r, j_inv, rxt), arm), t1v))
+            rxt = _cr(arm, t2v)
+            kt2.append(inv_m + _dot3(_cr(_iinv_w(r, j_inv, rxt), arm), t2v))
+        acc_n = [zero] * 4
+        acc_t1 = [zero] * 4
+        acc_t2 = [zero] * 4
+        # static obstacles as centered bounding-sphere contacts: list of
+        # (normal rows, depth row); 4-tuple = sphere, 6-tuple = AA box
+        extras = []
+        for entry in obstacles:
+            if len(entry) == 4:
+                ox, oy, oz, orad = entry
+                dx, dy, dz = p[0] - ox, p[1] - oy, p[2] - oz
+                dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+                extras.append(((dx * inv_d, dy * inv_d, dz * inv_d),
+                               orad + rc - dist))
+            else:
+                ox, oy, oz, hx, hy, hz = entry
+                rx, ry, rz = p[0] - ox, p[1] - oy, p[2] - oz
+                cx = jnp.clip(rx, -hx, hx)
+                cy = jnp.clip(ry, -hy, hy)
+                cz = jnp.clip(rz, -hz, hz)
+                dx, dy, dz = rx - cx, ry - cy, rz - cz
+                dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                outside = dist > 1e-6
+                inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+                px_ = hx + rc - jnp.abs(rx)
+                py_ = hy + rc - jnp.abs(ry)
+                pz_ = hz + rc - jnp.abs(rz)
+                isx = (px_ <= py_) & (px_ <= pz_)
+                isy = ~isx & (py_ <= pz_)
+                isz = ~isx & ~isy
+                sgx = jnp.where(rx >= 0, 1.0, -1.0)
+                sgy = jnp.where(ry >= 0, 1.0, -1.0)
+                sgz = jnp.where(rz >= 0, 1.0, -1.0)
+                nx = jnp.where(outside, dx * inv_d,
+                               jnp.where(isx, sgx, 0.0))
+                ny = jnp.where(outside, dy * inv_d,
+                               jnp.where(isy, sgy, 0.0))
+                nz = jnp.where(outside, dz * inv_d,
+                               jnp.where(isz, sgz, 0.0))
+                pen_in = jnp.minimum(jnp.minimum(px_, py_), pz_)
+                depth = jnp.where(outside, rc - dist, pen_in)
+                extras.append(((nx, ny, nz), depth))
+        extra_acc = [zero] * len(extras)
+        for _ in range(SOLVER_ITERATIONS):
+            for ki in range(4):
+                arm = arms[ki]
+                a = jnp.where(pens[ki] > -CONTACT_SLOP, 1.0, 0.0)
+                # normal impulse (accumulated, clamped >= 0); speculative
+                # target: Baumgarte push-out when penetrating, closing
+                # limit depth/dt when separated within the slop window
+                wxr = _cr((w[0], w[1], w[2]), arm)
+                vn = v[2] + wxr[2]
+                tgt = jnp.where(pens[ki] > 0, beta * pens[ki],
+                                inv_dt * pens[ki])
+                dj = (tgt - vn) / kn[ki]
+                new_acc = jnp.maximum(acc_n[ki] + dj, 0.0) * a
+                dj = new_acc - acc_n[ki]
+                acc_n[ki] = new_acc
+                v[2] = v[2] + inv_m * dj
+                dwv = _iinv_w(r, j_inv, _cr(arm, (zero, zero, dj)))
+                w[0], w[1], w[2] = w[0] + dwv[0], w[1] + dwv[1], w[2] + dwv[2]
+                lim = mu * acc_n[ki]
+                # tangential impulses (Coulomb cone on accumulated normal)
+                for tdir, kt, acc_t in ((0, kt1, acc_t1), (1, kt2, acc_t2)):
+                    wxr = _cr((w[0], w[1], w[2]), arm)
+                    vt = v[tdir] + wxr[tdir]
+                    dj = -vt / kt[ki]
+                    new_acc = jnp.clip(acc_t[ki] + dj, -lim, lim) * a
+                    dj = new_acc - acc_t[ki]
+                    acc_t[ki] = new_acc
+                    v[tdir] = v[tdir] + inv_m * dj
+                    imp = (dj, zero, zero) if tdir == 0 else (zero, dj, zero)
+                    dwv = _iinv_w(r, j_inv, _cr(arm, imp))
+                    w[0], w[1], w[2] = (w[0] + dwv[0], w[1] + dwv[1],
+                                        w[2] + dwv[2])
+            for ei, (en, depth) in enumerate(extras):
+                a = jnp.where(depth > -CONTACT_SLOP, 1.0, 0.0)
+                vn = v[0] * en[0] + v[1] * en[1] + v[2] * en[2]
+                tgt = jnp.where(depth > 0, beta * depth, inv_dt * depth)
+                dj = (tgt - vn) * params.m
+                new_acc = jnp.maximum(extra_acc[ei] + dj, 0.0) * a
+                dj = new_acc - extra_acc[ei]
+                extra_acc[ei] = new_acc
+                v[0] = v[0] + dj * inv_m * en[0]
+                v[1] = v[1] + dj * inv_m * en[1]
+                v[2] = v[2] + dj * inv_m * en[2]
+                # linear Coulomb friction on the tangential velocity
+                vn2 = v[0] * en[0] + v[1] * en[1] + v[2] * en[2]
+                vtx = v[0] - vn2 * en[0]
+                vty = v[1] - vn2 * en[1]
+                vtz = v[2] - vn2 * en[2]
+                vt_norm = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz)
+                lim = mu * new_acc * inv_m
+                scale = jnp.where(
+                    vt_norm > 1e-9,
+                    jnp.maximum(vt_norm - lim, 0.0)
+                    / jnp.maximum(vt_norm, 1e-9), 1.0)
+                scale = jnp.where(a > 0, scale, 1.0)
+                v[0] = vtx * scale + (v[0] - vtx)
+                v[1] = vty * scale + (v[1] - vty)
+                v[2] = vtz * scale + (v[2] - vtz)
+
+        # ---- position integration with the corrected velocities ----
         p[0] = p[0] + dt * v[0]
         p[1] = p[1] + dt * v[1]
         p[2] = p[2] + dt * v[2]
@@ -210,108 +372,41 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
         d["q"][1] = jnp.where(keep, qy, nqy)
         d["q"][2] = jnp.where(keep, qz, nqz)
         d["q"][3] = jnp.where(keep, qw, nqw)
-        # ground contact on the post-step pose
-        nq = d["q"]
-        n2q = nq[0] ** 2 + nq[1] ** 2 + nq[2] ** 2 + nq[3] ** 2
-        r33 = jnp.clip(1.0 - 2.0 * (nq[0] ** 2 + nq[1] ** 2) / n2q,
-                       -1.0, 1.0)
-        sin_tilt = jnp.sqrt(jnp.maximum(1.0 - r33 * r33, 0.0))
-        support = (params.collision_h / 2) * jnp.abs(r33) + \
-            params.collision_r * sin_tilt
-        bottom = p[2] - params.collision_z_offset - support
-        pen = jnp.maximum(-bottom, 0.0)
-        contact = pen > 0
-        p[2] = p[2] + pen
-        v[2] = jnp.where(contact, jnp.maximum(v[2], 0.0), v[2])
-        scale = jnp.where(contact, tang, 1.0)
-        v[0] = v[0] * scale
-        v[1] = v[1] * scale
-        w[0] = w[0] * scale
-        w[1] = w[1] * scale
-        w[2] = w[2] * scale
-        # static obstacles (inelastic pushout): 4-tuple = sphere,
-        # 6-tuple = axis-aligned box (ops/rigid_body.pyb_step semantics)
-        for entry in obstacles:
-            if len(entry) == 4:
-                ox, oy, oz, orad = entry
-                dx, dy, dz = p[0] - ox, p[1] - oy, p[2] - oz
-                dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                min_d = orad + params.collision_r
-                hit = dist < min_d
-                inv_d = 1.0 / jnp.maximum(dist, 1e-6)
-                nx, ny, nz = dx * inv_d, dy * inv_d, dz * inv_d
-                p[0] = jnp.where(hit, ox + nx * min_d, p[0])
-                p[1] = jnp.where(hit, oy + ny * min_d, p[1])
-                p[2] = jnp.where(hit, oz + nz * min_d, p[2])
-                vn = v[0] * nx + v[1] * ny + v[2] * nz
-                rm = hit & (vn < 0)
-                v[0] = jnp.where(rm, v[0] - vn * nx, v[0])
-                v[1] = jnp.where(rm, v[1] - vn * ny, v[1])
-                v[2] = jnp.where(rm, v[2] - vn * nz, v[2])
-            else:
-                ox, oy, oz, hx, hy, hz = entry
-                br = params.collision_r
-                rx, ry, rz = p[0] - ox, p[1] - oy, p[2] - oz
-                cx = jnp.clip(rx, -hx, hx)
-                cy = jnp.clip(ry, -hy, hy)
-                cz = jnp.clip(rz, -hz, hz)
-                dx, dy, dz = rx - cx, ry - cy, rz - cz
-                dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                out_hit = (dist < br) & (dist > 1e-6)
-                inv_d = 1.0 / jnp.maximum(dist, 1e-6)
-                nox, noy, noz = dx * inv_d, dy * inv_d, dz * inv_d
-                p[0] = jnp.where(out_hit, ox + cx + nox * br, p[0])
-                p[1] = jnp.where(out_hit, oy + cy + noy * br, p[1])
-                p[2] = jnp.where(out_hit, oz + cz + noz * br, p[2])
-                # center inside the box: face push along least penetration
-                inside = dist <= 1e-6
-                px_ = hx + br - jnp.abs(rx)
-                py_ = hy + br - jnp.abs(ry)
-                pz_ = hz + br - jnp.abs(rz)
-                isx = inside & (px_ <= py_) & (px_ <= pz_)
-                isy = inside & ~isx & (py_ <= pz_)
-                isz = inside & ~isx & ~isy
-                sgx = jnp.where(rx >= 0, 1.0, -1.0)
-                sgy = jnp.where(ry >= 0, 1.0, -1.0)
-                sgz = jnp.where(rz >= 0, 1.0, -1.0)
-                p[0] = jnp.where(isx, p[0] + sgx * px_, p[0])
-                p[1] = jnp.where(isy, p[1] + sgy * py_, p[1])
-                p[2] = jnp.where(isz, p[2] + sgz * pz_, p[2])
-                nx = jnp.where(out_hit, nox, jnp.where(isx, sgx, 0.0))
-                ny = jnp.where(out_hit, noy, jnp.where(isy, sgy, 0.0))
-                nz = jnp.where(out_hit, noz, jnp.where(isz, sgz, 0.0))
-                hit = out_hit | inside
-                vn = v[0] * nx + v[1] * ny + v[2] * nz
-                rm = hit & (vn < 0)
-                v[0] = jnp.where(rm, v[0] - vn * nx, v[0])
-                v[1] = jnp.where(rm, v[1] - vn * ny, v[1])
-                v[2] = jnp.where(rm, v[2] - vn * nz, v[2])
 
-    # ---- pairwise drone-drone contact (rigid_body.resolve_drone_collisions)
+    # ---- pairwise drone-drone contact (rigid_body.resolve_drone_collisions):
+    # Jacobi velocity impulses with Baumgarte separation on post-step poses
     if n > 1:
         min_d = 2.0 * params.collision_r
+        snap = [([row for row in d["p"]], [row for row in d["v"]])
+                for d in drones]
         for i in range(n):
-            for j in range(i + 1, n):
-                pi, pj = drones[i]["p"], drones[j]["p"]
-                vi, vj = drones[i]["v"], drones[j]["v"]
+            dvx = dvy = dvz = None
+            pi, vi = snap[i]
+            for j in range(n):
+                if i == j:
+                    continue
+                pj, vj = snap[j]
                 dx, dy, dz = pi[0] - pj[0], pi[1] - pj[1], pi[2] - pj[2]
                 dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                hit = dist < min_d
-                overlap = jnp.maximum(min_d - dist, 0.0)
+                depth = min_d - dist
+                hit = (depth > -CONTACT_SLOP) & (dist > 1e-6)
                 inv_d = 1.0 / jnp.maximum(dist, 1e-6)
                 nx, ny, nz = dx * inv_d, dy * inv_d, dz * inv_d
-                hpo = jnp.where(hit, 0.5 * overlap, 0.0)
-                pi[0], pi[1], pi[2] = (pi[0] + hpo * nx, pi[1] + hpo * ny,
-                                       pi[2] + hpo * nz)
-                pj[0], pj[1], pj[2] = (pj[0] - hpo * nx, pj[1] - hpo * ny,
-                                       pj[2] - hpo * nz)
                 vn = ((vi[0] - vj[0]) * nx + (vi[1] - vj[1]) * ny
                       + (vi[2] - vj[2]) * nz)
-                dv = jnp.where(hit & (vn < 0), -0.5 * vn, 0.0)
-                vi[0], vi[1], vi[2] = (vi[0] + dv * nx, vi[1] + dv * ny,
-                                       vi[2] + dv * nz)
-                vj[0], vj[1], vj[2] = (vj[0] - dv * nx, vj[1] - dv * ny,
-                                       vj[2] - dv * nz)
+                tgt = jnp.where(depth > 0, beta * depth, inv_dt * depth)
+                dv = jnp.where(hit,
+                               0.5 * jnp.maximum(tgt - vn, 0.0),
+                               0.0)
+                if dvx is None:
+                    dvx, dvy, dvz = dv * nx, dv * ny, dv * nz
+                else:
+                    dvx, dvy, dvz = (dvx + dv * nx, dvy + dv * ny,
+                                     dvz + dv * nz)
+            vi_live = drones[i]["v"]
+            vi_live[0] = vi_live[0] + dvx
+            vi_live[1] = vi_live[1] + dvy
+            vi_live[2] = vi_live[2] + dvz
 
 
 def _kernel(pid_params, dyn_params: DroneParams, physics: Physics,

@@ -1,25 +1,52 @@
-"""Semi-implicit rigid-body integrator with ground-plane contact (PYB mode).
+"""Bullet-style rigid-body integrator with impulse-based contact (PYB mode).
 
-TPU-native stand-in for the Bullet C++ integrator the reference drives through
+TPU-native stand-in for the Bullet C++ engine the reference drives through
 `p.stepSimulation` (reference BaseAviary.py:369-370).  Scope per SURVEY.md §7.4
 / BASELINE.json: exact Bullet bit-parity is NOT the target (that is reserved
-for the explicit-dynamics mode in ops/dynamics.py); this stepper approximates
-Bullet's discrete dynamics well enough that the PYB* physics modes fly the
-same trajectories qualitatively:
+for the explicit-dynamics mode in ops/dynamics.py); this stepper follows
+Bullet's *documented* discrete algorithm so that PYB* trajectories track real
+Bullet with quantified (not just qualitative) error:
 
 - external prop forces applied at prop link positions (LINK frame semantics of
   p.applyExternalForce, reference BaseAviary.py:679-711) => world force
   R @ f and torque (R @ offset) x (R @ f) about the CoM,
-- gravity, then semi-implicit Euler: v += dt a; w += dt I_w^-1 (tau);
-  x += dt v; q integrated by exponential map,
+- velocity update with gravity AND the gyroscopic bias term
+  w_b x (J w_b) (btMultiBody's Featherstone dynamics includes
+  Coriolis/centrifugal bias forces; PyBullet's loadURDF creates a
+  btMultiBody),
 - Bullet-style velocity damping v *= (1-d)^dt with PyBullet's URDF default
-  d = 0.04 (linear and angular),
-- ground-plane contact approximated by position projection + inelastic normal
-  response + Coulomb-like tangential friction on the collision cylinder
-  (radius/height from the URDF collision geometry).
+  d = 0.04 (linear and angular; the reference leaves the defaults in place,
+  see the commented-out changeDynamics at reference BaseAviary.py:494),
+- contact detected on the PRE-step pose (Bullet runs collision detection at
+  the start of stepSimulation), resolved by a projected Gauss-Seidel
+  impulse solve with accumulated-impulse clamping:
+    * normal impulse >= 0 with Baumgarte penetration correction
+      v_n_target = (ERP/dt) * penetration  (ERP = 0.2, the PyBullet
+      contactERP default; restitution 0, the URDF default); separated
+      points within CONTACT_SLOP join speculatively with the
+      closing-velocity limit gap/dt (Bullet's margin-window manifold
+      generation), so fast approaches stop at the surface,
+    * two tangential friction impulses each clamped to the Coulomb cone
+      |j_t| <= mu * j_n with mu = 0.5 (PyBullet URDF default lateral
+      friction; the reference URDFs carry no <contact> tags),
+    * the ground manifold is 4 points on the bottom rim of the collision
+      cylinder (Bullet keeps up to 4 persistent manifold points), giving
+      physical lever arms: a tilted lander rights itself, a resting drone
+      resists tipping,
+- then semi-implicit position integration x += dt v and quaternion update by
+  the world-angular-velocity exponential map (btMultiBody's floating-base
+  position integration).
 
-State layout matches DynState but `rpy_rates` carries the BODY angular
-velocity is unused here; `ang_v` (world angular velocity) is the carry.
+Known, documented divergences from real Bullet (bounded in
+tests/test_reference_parity.py and PARITY.md): PGS iteration count (we unroll
+a fixed small number vs PyBullet's default 50 — single-island contacts
+converge in < 4), convex collision margins (we use the exact cylinder
+surface), and split-impulse position recovery (btMultiBody uses plain
+Baumgarte, which we match; resting bodies therefore show the same ~g dt^2/ERP
+~ 0.85 mm steady penetration real Bullet multibodies do).
+
+State layout matches DynState but `ang_v` (world angular velocity) is the
+carry, as in Bullet.
 """
 from __future__ import annotations
 
@@ -35,7 +62,15 @@ from gym_pybullet_drones_tpu.ops.dynamics import motor_forces_torques
 # PyBullet defaults for URDF-loaded bodies (changeDynamics docs)
 LINEAR_DAMPING = 0.04
 ANGULAR_DAMPING = 0.04
-GROUND_FRICTION = 0.5
+GROUND_FRICTION = 0.5     # lateral_friction default; no <contact> tag in URDFs
+CONTACT_ERP = 0.2         # PyBullet contactERP default
+SOLVER_ITERATIONS = 4     # PGS sweeps (island of <= 7 constraints: converged)
+CONTACT_SLOP = 0.02       # speculative-contact window (Bullet's
+#                           gContactBreakingThreshold): separated points
+#                           within this gap join the solve with the
+#                           closing-velocity limit gap/dt, so approaches
+#                           stop AT the surface instead of penetrating
+#                           deep and taking a Baumgarte kick back out
 
 
 class PybState(NamedTuple):
@@ -43,6 +78,134 @@ class PybState(NamedTuple):
     quat: jnp.ndarray   # (..., 4) xyzw
     vel: jnp.ndarray    # (..., 3) world linear velocity
     ang_v: jnp.ndarray  # (..., 3) world angular velocity
+
+
+def _ground_manifold(params: DroneParams, pos, rot, dtype):
+    """4-point contact manifold on the bottom rim of the collision cylinder.
+
+    Returns (arms, penetrations): world-frame arms r_k from the CoM to each
+    candidate contact point (..., 4, 3) and the signed penetration depth of
+    each point below the z=0 plane (..., 4), positive = penetrating.
+    """
+    rc, h2 = params.collision_r, params.collision_h / 2
+    zoff = params.collision_z_offset
+    # body-frame rim points at 0/90/180/270 deg on the bottom disk
+    rim = jnp.asarray([[rc, 0.0, zoff - h2],
+                       [0.0, rc, zoff - h2],
+                       [-rc, 0.0, zoff - h2],
+                       [0.0, -rc, zoff - h2]], dtype)          # (4, 3)
+    arms = jnp.einsum("...ij,kj->...ki", rot, rim)             # (..., 4, 3)
+    pen = -(pos[..., None, 2] + arms[..., 2])                  # (..., 4)
+    return arms, pen
+
+
+def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
+                    mu: float, dt, extra=()):
+    """Projected Gauss-Seidel impulse solve for one body vs static geometry.
+
+    arms: (..., K, 3) world arms to contact points, pen: (..., K) depths
+    for plane contacts with normal +z.  `extra` is a sequence of
+    (normal, penetration) pairs for centered contacts (arm = 0, e.g.
+    bounding-sphere obstacle hits) that join the same solve.
+
+    Bullet-style speculative contacts: a point is active when its depth
+    exceeds -CONTACT_SLOP; the normal velocity target is ERP/dt * depth
+    when penetrating (Baumgarte push-out) and depth/dt when separated
+    (allow closing exactly to the surface in one step — this is what
+    keeps fast approaches from penetrating deep and taking a Baumgarte
+    kick back out).  Returns updated (vel, ang_v).
+    """
+    dtype = vel.dtype
+    inv_m = 1.0 / params.m
+    j_inv_diag = jnp.asarray(
+        [1.0 / params.ixx, 1.0 / params.iyy, 1.0 / params.izz], dtype)
+    # world inverse inertia applied to a vector: R diag Rt v
+    def iinv(v):
+        return jnp.einsum("...ij,...j->...i",
+                          rot, j_inv_diag *
+                          jnp.einsum("...ji,...j->...i", rot, v))
+
+    beta = jnp.asarray(CONTACT_ERP / dt, dtype)
+    inv_dt = jnp.asarray(1.0 / dt, dtype)
+    k = arms.shape[-2]
+    n = jnp.zeros(arms.shape, dtype).at[..., 2].set(1.0)        # (..., K, 3)
+    active = (pen > -CONTACT_SLOP).astype(dtype)                # (..., K)
+    # effective masses (constant through the solve)
+    rxn = jnp.cross(arms, n)                                    # (..., K, 3)
+    kn = inv_m + jnp.sum(jnp.cross(
+        jnp.einsum("...ij,...kj->...ki",
+                   rot, j_inv_diag * jnp.einsum(
+                       "...ji,...kj->...ki", rot, rxn)), arms) * n, axis=-1)
+    t1 = jnp.zeros(arms.shape, dtype).at[..., 0].set(1.0)
+    t2 = jnp.zeros(arms.shape, dtype).at[..., 1].set(1.0)
+    def keff(t):
+        rxt = jnp.cross(arms, t)
+        return inv_m + jnp.sum(jnp.cross(
+            jnp.einsum("...ij,...kj->...ki",
+                       rot, j_inv_diag * jnp.einsum(
+                           "...ji,...kj->...ki", rot, rxt)), arms) * t,
+            axis=-1)
+    kt1, kt2 = keff(t1), keff(t2)
+
+    acc_n = jnp.zeros(pen.shape, dtype)
+    acc_t1 = jnp.zeros(pen.shape, dtype)
+    acc_t2 = jnp.zeros(pen.shape, dtype)
+    extra_acc = [jnp.zeros(p.shape, dtype) for _, p in extra]
+
+    # speculative target: push out when penetrating, allow closing to the
+    # surface when separated
+    target = jnp.where(pen > 0, beta * pen, inv_dt * pen)       # (..., K)
+
+    for _ in range(SOLVER_ITERATIONS):
+        for ki in range(k):
+            r = arms[..., ki, :]
+            a = active[..., ki]
+            # normal
+            v_c = vel + jnp.cross(ang_v, r)
+            vn = v_c[..., 2]
+            dj = (target[..., ki] - vn) / kn[..., ki]
+            new_acc = jnp.maximum(acc_n[..., ki] + dj, 0.0) * a
+            dj = new_acc - acc_n[..., ki]
+            acc_n = acc_n.at[..., ki].set(new_acc)
+            imp = dj[..., None] * n[..., ki, :]
+            vel = vel + inv_m * imp
+            ang_v = ang_v + iinv(jnp.cross(r, imp))
+            # friction (both tangents), cone clamped by accumulated normal
+            lim = mu * acc_n[..., ki]
+            for tdir, kt, acc_t, name in ((t1, kt1, acc_t1, 0),
+                                          (t2, kt2, acc_t2, 1)):
+                v_c = vel + jnp.cross(ang_v, r)
+                vt = jnp.sum(v_c * tdir[..., ki, :], axis=-1)
+                dj = -vt / kt[..., ki]
+                new_acc = jnp.clip(acc_t[..., ki] + dj, -lim, lim) * a
+                dj = new_acc - acc_t[..., ki]
+                if name == 0:
+                    acc_t1 = acc_t1.at[..., ki].set(new_acc)
+                else:
+                    acc_t2 = acc_t2.at[..., ki].set(new_acc)
+                imp = dj[..., None] * tdir[..., ki, :]
+                vel = vel + inv_m * imp
+                ang_v = ang_v + iinv(jnp.cross(r, imp))
+        # centered extra contacts (arm = 0: no angular coupling)
+        for ei, (en, ep) in enumerate(extra):
+            a = (ep > -CONTACT_SLOP).astype(dtype)
+            vn = jnp.sum(vel * en, axis=-1)
+            e_target = jnp.where(ep > 0, beta * ep, inv_dt * ep)
+            dj = (e_target - vn) * params.m
+            new_acc = jnp.maximum(extra_acc[ei] + dj, 0.0) * a
+            dj = new_acc - extra_acc[ei]
+            extra_acc[ei] = new_acc
+            vel = vel + (dj * inv_m)[..., None] * en
+            # friction in the contact plane, cone-clamped (linear only)
+            vt = vel - jnp.sum(vel * en, axis=-1)[..., None] * en
+            vt_norm = jnp.linalg.norm(vt, axis=-1)
+            lim = mu * new_acc * inv_m                   # velocity units
+            scale = jnp.where(vt_norm > 1e-9,
+                              jnp.maximum(vt_norm - lim, 0.0)
+                              / jnp.maximum(vt_norm, 1e-9), 1.0)
+            scale = jnp.where(a > 0, scale, 1.0)
+            vel = vt * scale[..., None] + (vel - vt)
+    return vel, ang_v
 
 
 def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
@@ -82,14 +245,16 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
     if ext_torque is not None:
         torque_w = torque_w + ext_torque
 
-    # Gravity + velocity update
+    # Gravity + velocity update with the gyroscopic bias term
+    # (Featherstone: dw_b = J^-1 (tau_b - w_b x (J w_b)))
     acc = force_w / params.m
     acc = acc.at[..., 2].add(-9.8)
     vel = state.vel + dt * acc
-    # World-frame inertia: I_w^-1 = R I_b^-1 R^T (diagonal body inertia)
-    j_inv = jnp.asarray(
-        [1.0 / params.ixx, 1.0 / params.iyy, 1.0 / params.izz], dtype=dtype)
+    j_diag = jnp.asarray([params.ixx, params.iyy, params.izz], dtype=dtype)
+    j_inv = 1.0 / j_diag
     tau_b = jnp.einsum("...ji,...j->...i", rot, torque_w)         # R^T tau
+    w_b = jnp.einsum("...ji,...j->...i", rot, state.ang_v)
+    tau_b = tau_b - jnp.cross(w_b, j_diag * w_b)
     dw_b = j_inv * tau_b
     ang_v = state.ang_v + dt * jnp.einsum("...ij,...j->...i", rot, dw_b)
 
@@ -97,117 +262,89 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
     vel = vel * (1.0 - LINEAR_DAMPING) ** dt
     ang_v = ang_v * (1.0 - ANGULAR_DAMPING) ** dt
 
-    # Transform integration
+    # --- Contact solve on the PRE-step pose (Bullet collision order) ---
+    arms, pen = _ground_manifold(params, state.pos, rot, dtype)
+    # static obstacles as centered bounding-sphere contacts (the arm from
+    # the CoM to the closest point is parallel to the contact normal for a
+    # sphere about the CoM, so they carry no angular term)
+    extra = []
+    body_r = params.collision_r
+    for entry in obstacles:
+        if len(entry) == 4:
+            ox, oy, oz, orad = entry
+            center = jnp.asarray([ox, oy, oz], dtype)
+            delta = state.pos - center
+            dist = jnp.linalg.norm(delta, axis=-1)
+            n_hat = delta / jnp.maximum(dist, 1e-6)[..., None]
+            extra.append((n_hat, orad + body_r - dist))
+        else:
+            ox, oy, oz, hx, hy, hz = entry
+            center = jnp.asarray([ox, oy, oz], dtype)
+            half = jnp.asarray([hx, hy, hz], dtype)
+            rel = state.pos - center
+            closest = jnp.clip(rel, -half, half)
+            delta = rel - closest                 # 0 inside the box
+            dist = jnp.linalg.norm(delta, axis=-1)
+            outside = dist > 1e-6
+            n_out = delta / jnp.maximum(dist, 1e-6)[..., None]
+            # center inside the box: face normal of least penetration
+            pen_ax = half + body_r - jnp.abs(rel)          # (..., 3)
+            axis_1h = jax.nn.one_hot(
+                jnp.argmin(pen_ax, axis=-1), 3, dtype=dtype)
+            sgn = jnp.where(rel >= 0, 1.0, -1.0)
+            n_in = axis_1h * sgn
+            n_hat = jnp.where(outside[..., None], n_out, n_in)
+            depth = jnp.where(outside, body_r - dist,
+                              jnp.min(pen_ax, axis=-1))
+            extra.append((n_hat, depth))
+    vel, ang_v = _solve_contacts(params, rot, vel, ang_v, arms, pen,
+                                 GROUND_FRICTION, dt, extra)
+
+    # --- Position integration with the corrected velocities ---
     pos = state.pos + dt * vel
     # Bullet integrates orientation with the world angular velocity
     # (left-multiplied exponential map — NOT the body-rate variant)
     quat = quat_ops.integrate_quat_world(state.quat, ang_v, dt)
-
-    # --- Ground-plane contact (approximate) ---
-    # Lowest point of the collision cylinder: account for tilt via the body z
-    # axis; support depth = (h/2)|R33| + r*sqrt(1-R33^2) below the CoM.
-    r33 = jnp.clip(quat_ops.quat_to_mat(quat)[..., 2, 2], -1.0, 1.0)
-    sin_tilt = jnp.sqrt(jnp.maximum(1.0 - r33 * r33, 0.0))
-    support = (params.collision_h / 2) * jnp.abs(r33) + \
-        params.collision_r * sin_tilt
-    bottom = pos[..., 2] - params.collision_z_offset - support
-    penetration = jnp.maximum(-bottom, 0.0)
-    in_contact = penetration > 0
-    # Project out penetration; kill downward normal velocity (restitution 0);
-    # apply Coulomb-like tangential slowdown while in contact.
-    pos = pos.at[..., 2].add(penetration)
-    vz = vel[..., 2]
-    new_vz = jnp.where(in_contact, jnp.maximum(vz, 0.0), vz)
-    tangential_scale = jnp.where(
-        in_contact, jnp.maximum(1.0 - GROUND_FRICTION * dt * 60.0, 0.0), 1.0)
-    vel = jnp.concatenate(
-        [vel[..., :2] * tangential_scale[..., None], new_vz[..., None]],
-        axis=-1)
-    ang_v = jnp.where(in_contact[..., None],
-                      ang_v * jnp.asarray(tangential_scale)[..., None], ang_v)
-
-    # --- Static obstacles (approximate, inelastic pushout) ---
-    # Entry formats: (x, y, z, radius) = sphere; (x, y, z, hx, hy, hz) =
-    # axis-aligned box (center + half extents).  The drone is its bounding
-    # sphere (collision_r), matching Bullet's convex contact qualitatively.
-    if obstacles:
-        body_r = params.collision_r
-        for entry in obstacles:
-            if len(entry) == 4:
-                ox, oy, oz, orad = entry
-                center = jnp.asarray([ox, oy, oz], dtype)
-                delta = pos - center
-                dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
-                min_d = orad + body_r
-                hit = dist < min_d
-                n_hat = delta / jnp.maximum(dist, 1e-6)
-                pos = jnp.where(hit, center + n_hat * min_d, pos)
-                vn = jnp.sum(vel * n_hat, axis=-1, keepdims=True)
-                vel = jnp.where(hit & (vn < 0), vel - vn * n_hat, vel)
-            else:
-                ox, oy, oz, hx, hy, hz = entry
-                center = jnp.asarray([ox, oy, oz], dtype)
-                half = jnp.asarray([hx, hy, hz], dtype)
-                rel = pos - center
-                closest = jnp.clip(rel, -half, half)
-                delta = rel - closest                 # 0 inside the box
-                dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
-                out_hit = (dist < body_r) & (dist > 1e-6)
-                n_out = delta / jnp.maximum(dist, 1e-6)
-                pos = jnp.where(out_hit,
-                                center + closest + n_out * body_r, pos)
-                # center inside the box: push out along the axis of least
-                # penetration (face normal)
-                inside = dist <= 1e-6
-                pen = half + body_r - jnp.abs(rel)    # (..., 3) depths
-                axis_1h = jax.nn.one_hot(
-                    jnp.argmin(pen, axis=-1), 3, dtype=dtype)
-                sgn = jnp.where(rel >= 0, 1.0, -1.0)
-                n_in = axis_1h * sgn
-                pos = jnp.where(inside, pos + n_in * pen, pos)
-                n_hat = jnp.where(out_hit, n_out, n_in)
-                hit = out_hit | inside
-                vn = jnp.sum(vel * n_hat, axis=-1, keepdims=True)
-                vel = jnp.where(hit & (vn < 0), vel - vn * n_hat, vel)
     return PybState(pos=pos, quat=quat, vel=vel, ang_v=ang_v)
 
 
 def resolve_drone_collisions(params: DroneParams, pos: jnp.ndarray,
-                             vel: jnp.ndarray):
+                             vel: jnp.ndarray, dt: float | None = None):
     """Pairwise drone-drone contact within one env (bounding spheres).
 
-    TPU-native approximation of Bullet's multibody contact between drone
+    TPU-native counterpart of Bullet's multibody contact between drone
     collision shapes (the reference loads every drone into one PyBullet
     world, BaseAviary.py:484-491, so bodies collide in all PYB* modes).
-    Each penetrating pair (center distance < 2 * collision_r) is separated
-    symmetrically along the pair normal and the approaching normal
-    velocity component is cancelled inelastically (restitution 0, matching
-    the URDF default).  pos/vel are (..., N, 3); O(N^2) masked pairwise,
-    vectorized over leading batch dims.
+    Each penetrating pair (center distance < 2 * collision_r) gets an
+    impulse-based inelastic normal response with Baumgarte separation
+    (ERP = 0.2, restitution 0, matching the URDF defaults) split evenly
+    between the two equal-mass bodies; the center-line contact carries no
+    angular term.  pos/vel are (..., N, 3); O(N^2) masked pairwise,
+    vectorized over leading batch dims.  `dt` enables the Baumgarte push
+    (legacy callers that omit it get the pure inelastic response).
     """
     dtype = pos.dtype
     n = pos.shape[-2]
     if n < 2:
         return pos, vel
     min_d = 2.0 * params.collision_r
+    beta = 0.0 if dt is None else CONTACT_ERP / dt
+    inv_dt = 0.0 if dt is None else 1.0 / dt
     diff = pos[..., :, None, :] - pos[..., None, :, :]     # d[i,j] = p_i - p_j
     dist = jnp.linalg.norm(diff, axis=-1)                  # (..., N, N)
     eye = jnp.eye(n, dtype=bool)
-    hit = (dist < min_d) & ~eye
+    depth = min_d - dist                                   # + = penetrating
+    hit = (depth > -CONTACT_SLOP) & ~eye
     n_hat = diff / jnp.maximum(dist, 1e-6)[..., None]
-    # symmetric positional pushout: each of the pair moves half the overlap
-    overlap = jnp.maximum(min_d - dist, 0.0)
-    push = jnp.sum(
-        jnp.where(hit[..., None], 0.5 * overlap[..., None] * n_hat, 0.0),
-        axis=-2)
-    pos = pos + push
-    # inelastic normal response: cancel the approaching relative-velocity
-    # component (split evenly between the two equal-mass bodies)
+    # impulse-based normal response with the speculative target: Baumgarte
+    # push-out when penetrating, closing-velocity limit when separated
+    # within the slop window (split between the two equal-mass bodies)
     rel_v = vel[..., :, None, :] - vel[..., None, :, :]
     vn = jnp.sum(rel_v * n_hat, axis=-1)                   # (..., N, N)
-    approaching = hit & (vn < 0)
+    target = jnp.where(depth > 0, beta * depth, inv_dt * depth)
+    dv_pair = jnp.maximum(target - vn, 0.0)                # only push apart
     dv = jnp.sum(
-        jnp.where(approaching[..., None], -0.5 * vn[..., None] * n_hat, 0.0),
+        jnp.where(hit[..., None], 0.5 * dv_pair[..., None] * n_hat, 0.0),
         axis=-2)
     vel = vel + dv
     return pos, vel

@@ -480,107 +480,192 @@ def _integrate_rotation(rot, ang_vel, dt):
     return _quat_to_matrix(q) @ rot
 
 
-def _ground_contact(b):
-    """Mirror of ops/rigid_body.py ground model on the collision shape."""
+_CONTACT_ERP = 0.2        # PyBullet contactERP default
+_SOLVER_ITERATIONS = 4    # matches ops/rigid_body.SOLVER_ITERATIONS
+_CONTACT_SLOP = 0.02      # speculative window (ops/rigid_body.CONTACT_SLOP)
+
+
+def _contact_manifold(b):
+    """Candidate ground-contact points for a body: list of (arm, depth).
+
+    arm = world vector from the CoM to the contact point, depth = signed
+    penetration below z=0 (positive = penetrating).  Drone cylinders get
+    Bullet's 4-point persistent-manifold treatment (bottom-rim points at
+    0/90/180/270 deg in the body frame); spheres/boxes a single support
+    point.
+    """
     if b.shape is None:
-        return
+        return []
     kind = b.shape[0]
-    r33 = float(np.clip(b.rot[2, 2], -1.0, 1.0))
-    sin_tilt = math.sqrt(max(1.0 - r33 * r33, 0.0))
     if kind == "cylinder":
         radius, length, z_off = b.shape[1], b.shape[2], b.shape[3]
-        support = (length / 2.0) * abs(r33) + radius * sin_tilt
-        bottom = b.pos[2] - z_off - support
-    elif kind == "sphere":
-        bottom = b.pos[2] - b.shape[1]
-    elif kind == "box":
-        # conservative: support = sum of |R^T e_z| * half extents
+        out = []
+        for cx, cy in ((radius, 0.0), (0.0, radius),
+                       (-radius, 0.0), (0.0, -radius)):
+            local = np.array([cx, cy, z_off - length / 2.0])
+            arm = b.rot @ local
+            out.append((arm, -(b.pos[2] + arm[2])))
+        return out
+    if kind == "sphere":
+        arm = np.array([0.0, 0.0, -b.shape[1]])
+        return [(arm, -(b.pos[2] + arm[2]))]
+    if kind == "box":
+        # support point: corner of maximal descent
         half = np.array(b.shape[1:4])
-        support = float(np.abs(b.rot[2, :]) @ half)
-        bottom = b.pos[2] - support
-    else:
-        return
-    pen = max(-bottom, 0.0)
-    if pen <= 0.0:
-        return
-    dt = _DT_FOR_CONTACT[0]
-    b.pos[2] += pen
-    if b.lin_vel[2] < 0.0:
-        b.lin_vel[2] = 0.0
-    scale = max(1.0 - _GROUND_FRICTION * dt * 60.0, 0.0)
-    b.lin_vel[0] *= scale
-    b.lin_vel[1] *= scale
-    b.ang_vel *= scale
+        corner = -np.sign(b.rot[2, :]) * half
+        arm = b.rot @ corner
+        return [(arm, -(b.pos[2] + arm[2]))]
+    return []
 
 
-_DT_FOR_CONTACT = [1.0 / 240.0]
+def _solve_body_contacts(b, manifold, extra, dt):
+    """Projected Gauss-Seidel impulse solve (one body vs static geometry).
+
+    Same constraint formulation as ops/rigid_body._solve_contacts: plane
+    contacts with Baumgarte separation target ERP/dt * depth, restitution
+    0, accumulated normal impulse >= 0, two tangential friction impulses
+    clamped to the mu * j_n Coulomb cone; `extra` are centered contacts
+    (normal, depth) with no angular arm (bounding-sphere obstacle hits).
+    """
+    inv_m = 1.0 / b.mass
+    i_inv = b.rot @ np.diag(1.0 / b.inertia_diag) @ b.rot.T
+    beta = _CONTACT_ERP / dt
+    n_vec = np.array([0.0, 0.0, 1.0])
+    tangents = (np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]))
+    acc_n = [0.0] * len(manifold)
+    acc_t = [[0.0, 0.0] for _ in manifold]
+    k_n, k_t = [], []
+    for arm, _ in manifold:
+        rxn = np.cross(arm, n_vec)
+        k_n.append(inv_m + float(np.cross(i_inv @ rxn, arm) @ n_vec))
+        k_t.append([inv_m + float(np.cross(i_inv @ np.cross(arm, t), arm) @ t)
+                    for t in tangents])
+    extra_acc = [0.0] * len(extra)
+    inv_dt = 1.0 / dt
+    for _ in range(_SOLVER_ITERATIONS):
+        for ki, (arm, depth) in enumerate(manifold):
+            active = depth > -_CONTACT_SLOP
+            v_c = b.lin_vel + np.cross(b.ang_vel, arm)
+            target = beta * depth if depth > 0.0 else inv_dt * depth
+            dj = (target - v_c[2]) / k_n[ki]
+            new_acc = max(acc_n[ki] + dj, 0.0) if active else 0.0
+            dj = new_acc - acc_n[ki]
+            acc_n[ki] = new_acc
+            imp = dj * n_vec
+            b.lin_vel = b.lin_vel + inv_m * imp
+            b.ang_vel = b.ang_vel + i_inv @ np.cross(arm, imp)
+            lim = _GROUND_FRICTION * acc_n[ki]
+            for ti, t in enumerate(tangents):
+                v_c = b.lin_vel + np.cross(b.ang_vel, arm)
+                dj = -(v_c @ t) / k_t[ki][ti]
+                new_acc = (min(max(acc_t[ki][ti] + dj, -lim), lim)
+                           if active else 0.0)
+                dj = new_acc - acc_t[ki][ti]
+                acc_t[ki][ti] = new_acc
+                imp = dj * t
+                b.lin_vel = b.lin_vel + inv_m * imp
+                b.ang_vel = b.ang_vel + i_inv @ np.cross(arm, imp)
+        for ei, (en, depth) in enumerate(extra):
+            active = depth > -_CONTACT_SLOP
+            vn = float(b.lin_vel @ en)
+            e_target = beta * depth if depth > 0.0 else inv_dt * depth
+            dj = (e_target - vn) * b.mass
+            new_acc = max(extra_acc[ei] + dj, 0.0) if active else 0.0
+            dj = new_acc - extra_acc[ei]
+            extra_acc[ei] = new_acc
+            b.lin_vel = b.lin_vel + dj * inv_m * en
+            # linear Coulomb friction on the tangential velocity
+            vt = b.lin_vel - float(b.lin_vel @ en) * en
+            vt_norm = float(np.linalg.norm(vt))
+            if active and vt_norm > 1e-9:
+                lim = _GROUND_FRICTION * new_acc * inv_m
+                scale = max(vt_norm - lim, 0.0) / vt_norm
+                b.lin_vel = vt * scale + (b.lin_vel - vt)
+
+
+def _obstacle_contacts(b, statics):
+    """Centered bounding-sphere contacts vs static obstacles."""
+    body_r = b.shape[1] if b.shape and b.shape[0] in (
+        "cylinder", "sphere") else 0.06
+    out = []
+    for s in statics:
+        if s.shape[0] == "sphere":
+            delta = b.pos - s.pos
+            dist = float(np.linalg.norm(delta))
+            if dist > 1e-6:
+                out.append((delta / dist, s.shape[1] + body_r - dist))
+        elif s.shape[0] == "box":
+            half = np.array(s.shape[1:4])
+            rel = b.pos - s.pos
+            closest = np.clip(rel, -half, half)
+            delta = rel - closest
+            dist = float(np.linalg.norm(delta))
+            if dist > 1e-6:
+                out.append((delta / dist, body_r - dist))
+            else:
+                pen_ax = half + body_r - np.abs(rel)
+                ax = int(np.argmin(pen_ax))
+                n = np.zeros(3)
+                n[ax] = 1.0 if rel[ax] >= 0 else -1.0
+                out.append((n, float(pen_ax[ax])))
+    return out
 
 
 def stepSimulation(physicsClientId=0):
     c = _client(physicsClientId)
     dt = c.dt
-    _DT_FOR_CONTACT[0] = dt
     dynamic = [b for b in c.bodies.values() if not b.static]
     statics = [b for b in c.bodies.values()
                if b.static and b.shape is not None and b.shape[0] != "plane"]
     for b in dynamic:
+        # velocity update: forces, gravity, and the gyroscopic bias term
+        # (btMultiBody's Featherstone dynamics: tau_b - w_b x (J w_b))
         acc = b.force_acc / b.mass + c.gravity
         b.lin_vel = b.lin_vel + dt * acc
-        tau_body = b.rot.T @ b.torque_acc
+        w_body = b.rot.T @ b.ang_vel
+        tau_body = b.rot.T @ b.torque_acc \
+            - np.cross(w_body, b.inertia_diag * w_body)
         dw_body = tau_body / b.inertia_diag
         b.ang_vel = b.ang_vel + dt * (b.rot @ dw_body)
         b.lin_vel = b.lin_vel * (1.0 - _LINEAR_DAMPING) ** dt
         b.ang_vel = b.ang_vel * (1.0 - _ANGULAR_DAMPING) ** dt
+        # contact solve on the PRE-step pose (Bullet collision order),
+        # then position integration with the corrected velocities
+        manifold = _contact_manifold(b)
+        extra = _obstacle_contacts(b, statics)
+        if manifold or extra:
+            _solve_body_contacts(b, manifold, extra, dt)
         b.pos = b.pos + dt * b.lin_vel
         b.rot = _integrate_rotation(b.rot, b.ang_vel, dt)
-        _ground_contact(b)
-        # static-obstacle pushout (mirror of pyb_step's obstacle block,
-        # drone approximated by its bounding sphere)
-        body_r = b.shape[1] if b.shape and b.shape[0] in (
-            "cylinder", "sphere") else 0.06
-        for s in statics:
-            if s.shape[0] == "sphere":
-                delta = b.pos - s.pos
-                dist = float(np.linalg.norm(delta))
-                min_d = s.shape[1] + body_r
-                if dist < min_d and dist > 1e-6:
-                    n = delta / dist
-                    b.pos = s.pos + n * min_d
-                    vn = float(b.lin_vel @ n)
-                    if vn < 0:
-                        b.lin_vel = b.lin_vel - vn * n
-            elif s.shape[0] == "box":
-                half = np.array(s.shape[1:4])
-                rel = b.pos - s.pos
-                closest = np.clip(rel, -half, half)
-                delta = rel - closest
-                dist = float(np.linalg.norm(delta))
-                if 1e-6 < dist < body_r:
-                    n = delta / dist
-                    b.pos = s.pos + closest + n * body_r
-                    vn = float(b.lin_vel @ n)
-                    if vn < 0:
-                        b.lin_vel = b.lin_vel - vn * n
         b.force_acc[:] = 0.0
         b.torque_acc[:] = 0.0
-    # drone-drone sphere contact (mirror of resolve_drone_collisions)
-    for i in range(len(dynamic)):
-        for j in range(i + 1, len(dynamic)):
-            a, b2 = dynamic[i], dynamic[j]
-            ra = a.shape[1] if a.shape else 0.06
-            rb = b2.shape[1] if b2.shape else 0.06
-            min_d = ra + rb
-            diff = a.pos - b2.pos
-            dist = float(np.linalg.norm(diff))
-            if 1e-6 < dist < min_d:
-                n = diff / dist
-                overlap = min_d - dist
-                a.pos = a.pos + 0.5 * overlap * n
-                b2.pos = b2.pos - 0.5 * overlap * n
-                vn = float((a.lin_vel - b2.lin_vel) @ n)
-                if vn < 0:
-                    a.lin_vel = a.lin_vel - 0.5 * vn * n
-                    b2.lin_vel = b2.lin_vel + 0.5 * vn * n
+    # drone-drone sphere contact: Jacobi impulse pass on the post-step
+    # poses (mirror of ops/rigid_body.resolve_drone_collisions — velocity
+    # impulses with Baumgarte separation, no positional projection)
+    if len(dynamic) > 1:
+        beta = _CONTACT_ERP / dt
+        snapshot = [(b.pos.copy(), b.lin_vel.copy()) for b in dynamic]
+        dv = [np.zeros(3) for _ in dynamic]
+        for i in range(len(dynamic)):
+            for j in range(len(dynamic)):
+                if i == j:
+                    continue
+                pi, vi = snapshot[i]
+                pj, vj = snapshot[j]
+                ra = dynamic[i].shape[1] if dynamic[i].shape else 0.06
+                rb = dynamic[j].shape[1] if dynamic[j].shape else 0.06
+                min_d = ra + rb
+                diff = pi - pj
+                dist = float(np.linalg.norm(diff))
+                depth = min_d - dist
+                if dist > 1e-6 and depth > -_CONTACT_SLOP:
+                    n = diff / dist
+                    vn = float((vi - vj) @ n)
+                    target = (beta * depth if depth > 0.0
+                              else depth / c.dt)
+                    dv[i] += 0.5 * max(target - vn, 0.0) * n
+        for b, d in zip(dynamic, dv):
+            b.lin_vel = b.lin_vel + d
 
 
 # ---------------------------------------------------------------------------

@@ -13,10 +13,14 @@ Oracle independence:
   implementation).
 - DSLPIDControl executes the reference controller with scipy Rotation and
   shim quat utilities — again reference code end to end.
-- PYB*-mode tests are *plumbing* parity: the shim's stepSimulation mirrors
-  ops/rigid_body (not Bullet's solver, out of scope per SURVEY.md §7.4), but
-  the force assembly (_physics/_groundEffect/_drag/_downwash with their
-  LINK_FRAME quirks) is the reference's own Python.
+- PYB*-mode tests: real Bullet is not installable here, so the shim's
+  stepSimulation implements Bullet's *documented* discrete algorithm in
+  independent NumPy (Featherstone velocity update with the gyroscopic bias,
+  pre-step collision detection, PGS impulse solve with ERP=0.2 Baumgarte /
+  mu=0.5 Coulomb cone / 4-point cylinder rim manifold — see PARITY.md for
+  the bounded divergences from the real binary).  The force assembly
+  (_physics/_groundEffect/_drag/_downwash with their LINK_FRAME quirks) is
+  the reference's own Python, executed verbatim.
 """
 import sys
 import os
@@ -432,3 +436,87 @@ def test_pyb_aero_plumbing_vs_reference(ref):
                                atol=1e-7, err_msg="vel")
     np.testing.assert_allclose(my_obs[:, :, 13:16], ref_obs[:, :, 13:16],
                                atol=1e-6, err_msg="ang_v")
+
+
+def test_pyb_contact_vs_reference(ref):
+    """CtrlAviary(PYB): landing, tilted settling, and drone-drone contact.
+
+    The reference executes verbatim over the shim's Bullet-algorithm
+    stepSimulation (PGS impulse contact, gyroscopic term) while both drones
+    free-fall at zero RPM: drone 0 lands tilted (roll 0.3) and is righted
+    by the 4-point rim manifold; drone 1 falls onto drone 0's bounding
+    sphere (pair contact) before sliding off to the plane.  My PYB env
+    must reproduce the trajectories — this quantifies the JAX solver vs
+    the independent NumPy implementation of the same documented algorithm
+    (reference force plumbing BaseAviary.py:679-711; contact scope per
+    PARITY.md).
+    """
+    from gym_pybullet_drones.envs.CtrlAviary import CtrlAviary
+    RDrone, RPhys = _ref_enums(ref)
+
+    init_xyzs = np.array([[0.0, 0.0, 0.3], [0.05, 0.0, 0.6]])
+    init_rpys = np.array([[0.3, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    env = CtrlAviary(drone_model=RDrone.CF2X, num_drones=2,
+                     initial_xyzs=init_xyzs, initial_rpys=init_rpys,
+                     physics=RPhys.PYB, pyb_freq=240, ctrl_freq=48,
+                     gui=False, obstacles=False, user_debug_gui=False)
+    env.reset()
+
+    n_steps = 96   # 2 s: impact, righting, settling
+    actions = np.zeros((n_steps, 2, 4))
+    ref_obs = np.zeros((n_steps, 2, 20))
+    for i in range(n_steps):
+        obs, *_ = env.step(actions[i])
+        ref_obs[i] = obs
+    env.close()
+
+    cfg = core.AviaryConfig(
+        drone=P.CF2X, num_drones=2, physics=Physics.PYB,
+        pyb_freq=240, ctrl_freq=48,
+        init_xyzs=tuple(map(tuple, init_xyzs)),
+        init_rpys=tuple(map(tuple, init_rpys)))
+    _, my_obs, *_ = _my_rollout(cfg, tasks.CtrlTask(), actions)
+
+    np.testing.assert_allclose(my_obs[:, :, 0:3], ref_obs[:, :, 0:3],
+                               atol=1e-6, err_msg="pos")
+    np.testing.assert_allclose(my_obs[:, :, 10:13], ref_obs[:, :, 10:13],
+                               atol=1e-5, err_msg="vel")
+    np.testing.assert_allclose(my_obs[:, :, 13:16], ref_obs[:, :, 13:16],
+                               atol=1e-4, err_msg="ang_v")
+    # physical end state: both drones at rest on the plane, righted
+    z_rest = P.CF2X.collision_z_offset + P.CF2X.collision_h / 2
+    assert abs(ref_obs[-1, 0, 2] - z_rest) < 5e-3
+    assert abs(my_obs[-1, 0, 2] - z_rest) < 5e-3
+    assert abs(my_obs[-1, 0, 7]) < 0.05      # roll righted from 0.3
+
+
+def test_pyb_contact_vs_reference_racer(ref):
+    """RACE-model landing parity (different mass/inertia/geometry scale)."""
+    from gym_pybullet_drones.envs.CtrlAviary import CtrlAviary
+    RDrone, RPhys = _ref_enums(ref)
+
+    init_xyzs = np.array([[0.0, 0.0, 0.4]])
+    init_rpys = np.array([[0.0, 0.2, 0.0]])
+    env = CtrlAviary(drone_model=RDrone.RACE, num_drones=1,
+                     initial_xyzs=init_xyzs, initial_rpys=init_rpys,
+                     physics=RPhys.PYB, pyb_freq=240, ctrl_freq=48,
+                     gui=False, obstacles=False, user_debug_gui=False)
+    env.reset()
+    n_steps = 72
+    actions = np.zeros((n_steps, 1, 4))
+    ref_obs = np.zeros((n_steps, 1, 20))
+    for i in range(n_steps):
+        obs, *_ = env.step(actions[i])
+        ref_obs[i] = obs
+    env.close()
+
+    cfg = core.AviaryConfig(
+        drone=P.RACE, num_drones=1, physics=Physics.PYB,
+        pyb_freq=240, ctrl_freq=48,
+        init_xyzs=tuple(map(tuple, init_xyzs)),
+        init_rpys=tuple(map(tuple, init_rpys)))
+    _, my_obs, *_ = _my_rollout(cfg, tasks.CtrlTask(), actions)
+    np.testing.assert_allclose(my_obs[:, :, 0:3], ref_obs[:, :, 0:3],
+                               atol=1e-6, err_msg="pos")
+    np.testing.assert_allclose(my_obs[:, :, 10:13], ref_obs[:, :, 10:13],
+                               atol=1e-5, err_msg="vel")
