@@ -92,6 +92,19 @@ def main():
                     "value": round(rate, 1), "unit": "env-steps/s",
                     "vs_baseline": round(rate / 1e7, 4)})
 
+    # RGB observations: ray-traced (48, 64, 4) per drone (ops/render.py,
+    # reference BaseRLAviary.py:252-306) — the pixel path the reference
+    # serves through TinyRenderer, here fully on-device
+    from gym_pybullet_drones_tpu.utils.enums import ObservationType
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    rate = _bench_env(cfg, HoverTask(act=ActionType.RPM,
+                                     obs=ObservationType.RGB),
+                      256, chunk=64)
+    results.append({"metric": "env_steps_per_sec_hover256_rgb",
+                    "value": round(rate, 1), "unit": "env-steps/s",
+                    "vs_baseline": round(rate / 1e7, 4)})
+
     # PPO learner throughput: env-steps consumed per second of training
     cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
                        pyb_freq=240, ctrl_freq=30)

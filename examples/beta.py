@@ -10,6 +10,7 @@ run with --spawn_sitl True once they are built, or start them manually.
 """
 import argparse
 import csv
+import os
 import time
 
 import numpy as np
@@ -81,6 +82,16 @@ def run(drone=DEFAULT_DRONES, num_drones=DEFAULT_NUM_DRONES,
                     output_folder=output_folder)
 
     n_steps = int(duration_sec * env.CTRL_FREQ)
+    if traj_csv is None:
+        # default to the shipped asset (counterpart of the reference's
+        # assets/beta-traj.csv, examples/beta.py:91); fall back to the
+        # generated circuit if the asset is absent
+        import gym_pybullet_drones_tpu
+        shipped = os.path.join(
+            os.path.dirname(gym_pybullet_drones_tpu.__file__),
+            "assets", "beta-traj.csv")
+        if os.path.exists(shipped):
+            traj_csv = shipped
     make_traj = (lambda: _csv_trajectory(traj_csv)) if traj_csv else \
         (lambda: _default_trajectory(n_steps, env.CTRL_TIMESTEP))
     trajectories = [make_traj() for _ in range(num_drones)]

@@ -45,3 +45,20 @@ tau = jnp.asarray([[0.0, 0.0, 1e-5]])
 for i in range(120):
     s = pyb_step(params, s, rpm, dt, ext_torque=tau)
 print("ang_v after 0.5 s:", np.round(np.asarray(s.ang_v[0]), 3))
+
+print("== obstacle contact probe (architrave beam + test box URDFs) ==")
+# Counterpart of the reference debug.py loading architrave.urdf/box.urdf
+# (reference examples/debug.py:19-20): fly into the beam and confirm the
+# contact response stops forward motion at its face.
+obstacles = (
+    P.load_obstacle_urdf(P.obstacle_asset_path("architrave"), (0.5, 0.0, 1.0)),
+    P.load_obstacle_urdf(P.obstacle_asset_path("box"), (1.0, 0.0, 0.05)),
+)
+s = PybState(pos=jnp.asarray([[0.0, 0.0, 1.0]]),
+             quat=jnp.asarray([[0.0, 0.0, 0.0, 1.0]]),
+             vel=jnp.asarray([[0.5, 0.0, 0.0]]), ang_v=jnp.zeros((1, 3)))
+for i in range(240):
+    s = pyb_step(params, s, rpm, dt, obstacles=obstacles)
+print("after 1 s flying +x into the beam: pos",
+      np.round(np.asarray(s.pos[0]), 4),
+      "(stopped short of x=0.5)" if float(s.pos[0, 0]) < 0.5 else "")

@@ -191,6 +191,17 @@ class FunctionalAviary(gym.Env):
         if self._viewer is not None:
             self._viewer.close()
             self._viewer = None
+        if self.RECORD and self._record_dir is not None:
+            # assemble the PNG frames into a playable video (counterpart
+            # of the reference's mp4 state logging, BaseAviary.py:523-537;
+            # MJPEG-AVI because this image ships no ffmpeg)
+            from gym_pybullet_drones_tpu.utils.video import \
+                assemble_frame_dir
+            out = assemble_frame_dir(
+                self._record_dir,
+                fps=self.cfg.pyb_freq / self.CAPTURE_FREQ)
+            if out:
+                print(f"[INFO] recording assembled: {out}")
 
     # -- extras mirroring reference helpers -----------------------------
     def getPyBulletClient(self):

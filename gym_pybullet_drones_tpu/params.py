@@ -331,3 +331,47 @@ def asset_path(model: DroneModel | str) -> str:
     model = DroneModel(model)
     return os.path.join(os.path.dirname(__file__), "assets",
                         f"{model.value}.urdf")
+
+
+def obstacle_asset_path(name: str) -> str:
+    """Path of an in-package obstacle URDF asset (e.g. 'architrave', 'box')."""
+    import os
+    return os.path.join(os.path.dirname(__file__), "assets", f"{name}.urdf")
+
+
+def load_obstacle_urdf(path: str, position=(0.0, 0.0, 0.0)) -> tuple:
+    """Parse an obstacle URDF's collision geometry into an engine obstacle.
+
+    Returns the tuple format consumed by the PYB-mode steppers
+    (ops/rigid_body.pyb_step `obstacles=`): `(x, y, z, r)` for a sphere,
+    `(x, y, z, hx, hy, hz)` for a box (center + half extents).  A cylinder
+    is converted to its bounding box.  `position` places the body in the
+    world (role of the basePosition argument of the reference's
+    p.loadURDF, e.g. examples/debug.py:19-20).
+    """
+    root = etxml.parse(path).getroot()
+    geom = None
+    for link in root.iter("link"):
+        coll = link.find("collision")
+        if coll is not None:
+            geom = coll.find("geometry")[0]
+            break
+    if geom is None:  # visual-only URDF: fall back to the visual geometry
+        for link in root.iter("link"):
+            vis = link.find("visual")
+            if vis is not None:
+                geom = vis.find("geometry")[0]
+                break
+    if geom is None:
+        raise ValueError(f"no collision/visual geometry in {path}")
+    x, y, z = (float(v) for v in position)
+    if geom.tag == "sphere":
+        return (x, y, z, float(geom.attrib["radius"]))
+    if geom.tag == "box":
+        sx, sy, sz = (float(s) for s in geom.attrib["size"].split())
+        return (x, y, z, sx / 2, sy / 2, sz / 2)
+    if geom.tag == "cylinder":
+        r = float(geom.attrib["radius"])
+        h = float(geom.attrib["length"])
+        return (x, y, z, r, r, h / 2)
+    raise ValueError(f"unsupported obstacle geometry <{geom.tag}> in {path}")

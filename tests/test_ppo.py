@@ -180,3 +180,36 @@ def test_ppo_rgb_observations_update():
     assert ts.last_obs.shape == (2, 48 * 64 * 4)
     ts2, metrics = jax.jit(update)(ts)
     assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_ppo_rgb_cnn_learns():
+    """Seeded CNN-policy learning gate on ray-traced RGB observations.
+
+    VERDICT round-1 item #6: 'train the CNN policy to measurable
+    improvement'.  Deterministic seeded run: 12 updates of NatureCNN PPO
+    on Hover(ONE_D_RPM, RGB) must raise mean rollout reward above the
+    initial-policy level — a regression floor (same structure as
+    test_ppo_seeded_reward_floor), sized to stay CI-cheap.
+    """
+    from gym_pybullet_drones_tpu.utils.enums import ObservationType
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
+    task = HoverTask(act=ActionType.ONE_D_RPM, obs=ObservationType.RGB)
+    # lr calibrated for the shared CNN trunk: 3e-4 collapses after ~8
+    # updates (value-loss spikes through the trunk), 1e-4 learns
+    # 1.35 -> ~1.79 and holds (see ROUND2_NOTES.md)
+    ppo = PPOConfig(num_envs=16, rollout_steps=32, num_minibatches=2,
+                    update_epochs=2, lr=1e-4)
+    init, update, _, _ = make_train(cfg, task, ppo)
+    ts = init(jax.random.key(1))
+    upd = jax.jit(update)
+    ts, m0 = upd(ts)
+    first = float(m0["mean_reward"])
+    rewards = []
+    for _ in range(13):
+        ts, m = upd(ts)
+        rewards.append(float(m["mean_reward"]))
+    tail = float(np.mean(rewards[-3:]))
+    assert np.isfinite(tail)
+    assert tail > first + 0.2, \
+        f"CNN PPO did not improve: {first} -> tail mean {tail}"

@@ -30,3 +30,34 @@ def test_gui_env_step_headless():
         env.step(env.action_space.sample())
     assert env._viewer is not None and len(env._viewer._frames) == 3
     env.close()
+
+
+def test_mjpeg_avi_writer(tmp_path):
+    """Pure-Python MJPEG AVI assembly: valid RIFF structure, all frames."""
+    import struct
+    import numpy as np
+    from gym_pybullet_drones_tpu.utils.video import (
+        MJPEGWriter, assemble_frame_dir)
+
+    w = MJPEGWriter(str(tmp_path / "clip.avi"), fps=24)
+    for i in range(5):
+        frame = np.zeros((48, 64, 3), np.uint8)
+        frame[:, : (i + 1) * 10] = 200
+        w.add_frame(frame)
+    out = w.close()
+    data = open(out, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert data.count(b"00dc") == 10  # 5 movi chunks + 5 idx1 entries
+    assert b"MJPG" in data and b"idx1" in data
+
+    # frame-dir assembly path used by the adapter record mode
+    from PIL import Image
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray(np.full((24, 32, 3), i * 40, np.uint8)).save(
+            d / f"frame_{i}.png")
+    out2 = assemble_frame_dir(str(d), fps=12)
+    assert out2 and open(out2, "rb").read()[:4] == b"RIFF"
+    assert assemble_frame_dir(str(tmp_path)) is None  # no frames -> None
