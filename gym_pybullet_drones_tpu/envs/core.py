@@ -269,9 +269,14 @@ def step(cfg: AviaryConfig, task, state: EnvState, action: jnp.ndarray):
     # Substep loop: statically unrolled for small repeat counts so XLA fuses
     # the whole control step into one kernel region (a lax.scan lowers to an
     # XLA While whose per-iteration barrier blocks fusion and costs far more
-    # than the physics itself at these tensor sizes); scan only for large
-    # ratios where code size would blow up.
-    if cfg.steps_per_ctrl <= 16:
+    # than the physics itself at these tensor sizes); scan for larger ratios
+    # where the traced code size would blow up.  PYB-family substeps carry
+    # the PGS contact solve, so their unroll budget is much smaller (the
+    # TPU throughput path for PYB runs in the fused Pallas kernel anyway —
+    # this XLA path is the parity/flexibility surface where compile time
+    # matters more than the last few percent of fusion).
+    unroll_budget = 16 if cfg.physics == Physics.DYN else 2
+    if cfg.steps_per_ctrl <= unroll_budget:
         for _ in range(cfg.steps_per_ctrl):
             state = _apply_physics_substep(cfg, state, rpm)
     else:

@@ -45,7 +45,7 @@ from gym_pybullet_drones_tpu.ops.dynamics import DynState
 
 
 def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
-                      use_pallas: bool = True, autoreset: bool = True,
+                      use_pallas: bool | None = None, autoreset: bool = True,
                       dtype=jnp.float32, mesh=None,
                       obs_layout: str = "drone"):
     """Build step_fn over batched EnvState with a flattened (B*N, ...) carry.
@@ -53,6 +53,12 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     Returns (reset_fn, step_fn); reset_fn(seed) -> (state, obs);
     step_fn(state, action) -> (state, obs, reward, term, trunc) with per-env
     leading axes on the outputs (obs (B, N, D), reward/term/trunc (B,)).
+
+    use_pallas: None (default) enables the Pallas kernels only on the TPU
+    backend — on CPU, Pallas runs in interpret mode (per-op Python
+    execution), orders of magnitude slower than the compiled XLA path
+    this falls back to.  Pass True/False to force (the kernel-equivalence
+    tests force True to exercise the kernels under interpretation).
 
     mesh: optional jax.sharding.Mesh — step_fn is then wrapped in shard_map
     along the mesh's first axis (env-batch data parallelism; num_envs must
@@ -67,6 +73,8 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     """
     if obs_layout not in ("drone", "flat"):
         raise ValueError(f"unknown obs_layout {obs_layout!r}")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     n = cfg.num_drones
     bn = num_envs * n
     buf_len, act_dim = task.action_buffer_shape(cfg)
@@ -380,10 +388,17 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
 
 
 def make_fused_rollout(cfg: core.AviaryConfig, task, num_envs: int,
-                       mesh=None, obs_layout: str = "flat"):
+                       mesh=None, obs_layout: str = "flat",
+                       use_pallas: bool | None = None):
     """Fully-fused rollout stepping: ONE Pallas launch and a ONE-buffer scan
     carry per control step (ops/pallas_fused.py) — physics, action buffer,
     task reward/termination, obs assembly, and auto-reset all in-kernel.
+
+    use_pallas: None (default) requires the TPU backend — on CPU, Pallas
+    interpret mode is orders of magnitude slower than the compiled XLA
+    fallback callers use instead; raises ValueError so callers fall back
+    (rl/ppo.py catches it).  The kernel-equivalence tests pass True to
+    exercise the fused kernel under interpretation.
 
     Returns (reset_fn, step_fn): reset_fn() -> (carry, obs);
     step_fn(carry, action (B, N, A)) -> (carry, obs, reward, term, trunc).
@@ -399,6 +414,11 @@ def make_fused_rollout(cfg: core.AviaryConfig, task, num_envs: int,
     from gym_pybullet_drones_tpu.ops import pallas_fused
     from gym_pybullet_drones_tpu.utils.enums import ObservationType
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        raise ValueError("fused rollout requires the TPU backend "
+                         "(pass use_pallas=True to force interpret mode)")
     n = cfg.num_drones
     buf_len, act_dim = task.action_buffer_shape(cfg)
     buf_rows = buf_len * act_dim

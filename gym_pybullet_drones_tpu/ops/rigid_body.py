@@ -119,44 +119,39 @@ def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
     inv_m = 1.0 / params.m
     j_inv_diag = jnp.asarray(
         [1.0 / params.ixx, 1.0 / params.iyy, 1.0 / params.izz], dtype)
-    # world inverse inertia applied to a vector: R diag Rt v
+    # world inverse inertia as an explicit matrix, R diag(J^-1) R^T
+    # (the contact-shim computes the same matrix), applied as one matvec
+    # per impulse — smaller traced graph than re-rotating per application
+    i_inv = jnp.einsum("...ik,k,...jk->...ij", rot, j_inv_diag, rot)
+
     def iinv(v):
-        return jnp.einsum("...ij,...j->...i",
-                          rot, j_inv_diag *
-                          jnp.einsum("...ji,...j->...i", rot, v))
+        return jnp.einsum("...ij,...j->...i", i_inv, v)
 
     beta = jnp.asarray(CONTACT_ERP / dt, dtype)
     inv_dt = jnp.asarray(1.0 / dt, dtype)
     k = arms.shape[-2]
     n = jnp.zeros(arms.shape, dtype).at[..., 2].set(1.0)        # (..., K, 3)
-    active = (pen > -CONTACT_SLOP).astype(dtype)                # (..., K)
-    # effective masses (constant through the solve)
-    rxn = jnp.cross(arms, n)                                    # (..., K, 3)
-    kn = inv_m + jnp.sum(jnp.cross(
-        jnp.einsum("...ij,...kj->...ki",
-                   rot, j_inv_diag * jnp.einsum(
-                       "...ji,...kj->...ki", rot, rxn)), arms) * n, axis=-1)
     t1 = jnp.zeros(arms.shape, dtype).at[..., 0].set(1.0)
     t2 = jnp.zeros(arms.shape, dtype).at[..., 1].set(1.0)
-    def keff(t):
-        rxt = jnp.cross(arms, t)
-        return inv_m + jnp.sum(jnp.cross(
-            jnp.einsum("...ij,...kj->...ki",
-                       rot, j_inv_diag * jnp.einsum(
-                           "...ji,...kj->...ki", rot, rxt)), arms) * t,
-            axis=-1)
-    kt1, kt2 = keff(t1), keff(t2)
+    active = (pen > -CONTACT_SLOP).astype(dtype)                # (..., K)
 
-    acc_n = jnp.zeros(pen.shape, dtype)
-    acc_t1 = jnp.zeros(pen.shape, dtype)
-    acc_t2 = jnp.zeros(pen.shape, dtype)
-    extra_acc = [jnp.zeros(p.shape, dtype) for _, p in extra]
+    # effective masses (constant through the solve): 1/m + ((I^-1 (r x d))
+    # x r) . d for each constraint direction d
+    def keff(d):
+        rxd = jnp.cross(arms, d)
+        return inv_m + jnp.sum(jnp.cross(
+            jnp.einsum("...ij,...kj->...ki", i_inv, rxd), arms) * d,
+            axis=-1)
+    kn, kt1, kt2 = keff(n), keff(t1), keff(t2)
 
     # speculative target: push out when penetrating, allow closing to the
     # surface when separated
     target = jnp.where(pen > 0, beta * pen, inv_dt * pen)       # (..., K)
+    e_active = [(ep > -CONTACT_SLOP).astype(dtype) for _, ep in extra]
+    e_target = [jnp.where(ep > 0, beta * ep, inv_dt * ep) for _, ep in extra]
 
-    for _ in range(SOLVER_ITERATIONS):
+    def one_sweep(_, carry):
+        vel, ang_v, acc_n, acc_t1, acc_t2, extra_acc = carry
         for ki in range(k):
             r = arms[..., ki, :]
             a = active[..., ki]
@@ -172,14 +167,14 @@ def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
             ang_v = ang_v + iinv(jnp.cross(r, imp))
             # friction (both tangents), cone clamped by accumulated normal
             lim = mu * acc_n[..., ki]
-            for tdir, kt, acc_t, name in ((t1, kt1, acc_t1, 0),
-                                          (t2, kt2, acc_t2, 1)):
+            for tdir, kt, which in ((t1, kt1, 0), (t2, kt2, 1)):
+                acc_t = acc_t1 if which == 0 else acc_t2
                 v_c = vel + jnp.cross(ang_v, r)
                 vt = jnp.sum(v_c * tdir[..., ki, :], axis=-1)
                 dj = -vt / kt[..., ki]
                 new_acc = jnp.clip(acc_t[..., ki] + dj, -lim, lim) * a
                 dj = new_acc - acc_t[..., ki]
-                if name == 0:
+                if which == 0:
                     acc_t1 = acc_t1.at[..., ki].set(new_acc)
                 else:
                     acc_t2 = acc_t2.at[..., ki].set(new_acc)
@@ -187,14 +182,14 @@ def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
                 vel = vel + inv_m * imp
                 ang_v = ang_v + iinv(jnp.cross(r, imp))
         # centered extra contacts (arm = 0: no angular coupling)
-        for ei, (en, ep) in enumerate(extra):
-            a = (ep > -CONTACT_SLOP).astype(dtype)
+        new_extra = []
+        for ei, (en, _) in enumerate(extra):
+            a = e_active[ei]
             vn = jnp.sum(vel * en, axis=-1)
-            e_target = jnp.where(ep > 0, beta * ep, inv_dt * ep)
-            dj = (e_target - vn) * params.m
+            dj = (e_target[ei] - vn) * params.m
             new_acc = jnp.maximum(extra_acc[ei] + dj, 0.0) * a
             dj = new_acc - extra_acc[ei]
-            extra_acc[ei] = new_acc
+            new_extra.append(new_acc)
             vel = vel + (dj * inv_m)[..., None] * en
             # friction in the contact plane, cone-clamped (linear only)
             vt = vel - jnp.sum(vel * en, axis=-1)[..., None] * en
@@ -205,6 +200,15 @@ def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
                               / jnp.maximum(vt_norm, 1e-9), 1.0)
             scale = jnp.where(a > 0, scale, 1.0)
             vel = vt * scale[..., None] + (vel - vt)
+        return (vel, ang_v, acc_n, acc_t1, acc_t2, tuple(new_extra))
+
+    zero_k = jnp.zeros(pen.shape, dtype)
+    carry = (vel, ang_v, zero_k, zero_k, zero_k,
+             tuple(jnp.zeros(ep.shape, dtype) for _, ep in extra))
+    # fori_loop keeps the traced graph one-sweep-sized (the unrolled form
+    # made downstream XLA compiles of substep x rollout programs explode)
+    vel, ang_v, *_ = jax.lax.fori_loop(
+        0, SOLVER_ITERATIONS, one_sweep, carry)
     return vel, ang_v
 
 

@@ -17,7 +17,7 @@ from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
 def _compare(cfg, task, B, steps, key=0, scale=0.3, atol=2e-5):
     n = cfg.num_drones
     buf_len, act_dim = task.action_buffer_shape(cfg)
-    f_reset, f_step = make_fused_rollout(cfg, task, B, obs_layout="flat")
+    f_reset, f_step = make_fused_rollout(cfg, task, B, obs_layout="flat", use_pallas=True)
     r_reset, r_step = make_batched_step(cfg, task, B, obs_layout="flat")
     fc, fobs = f_reset()
     rs, robs = r_reset()
@@ -108,7 +108,15 @@ def test_fused_rejects_ineligible():
     from gym_pybullet_drones_tpu.utils.enums import ObservationType
     with pytest.raises(ValueError):
         make_fused_rollout(
-            cfg, HoverTask(act=ActionType.RPM, reset_pos_noise=0.1), 8)
+            cfg, HoverTask(act=ActionType.RPM, reset_pos_noise=0.1), 8,
+            use_pallas=True)
     with pytest.raises(ValueError):
         make_fused_rollout(
-            cfg, HoverTask(act=ActionType.RPM, obs=ObservationType.RGB), 8)
+            cfg, HoverTask(act=ActionType.RPM, obs=ObservationType.RGB), 8,
+            use_pallas=True)
+    # on a non-TPU backend the default (auto) gate also rejects, so
+    # callers fall back to the compiled XLA path instead of Pallas
+    # interpret mode
+    if jax.default_backend() != "tpu":
+        with pytest.raises(ValueError):
+            make_fused_rollout(cfg, HoverTask(act=ActionType.RPM), 8)

@@ -85,7 +85,7 @@ def test_fast_batched_step_matches_core():
                        pyb_freq=240, ctrl_freq=30)
     task = HoverTask(act=ActionType.RPM)
     B = 4
-    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    reset_fn, step_fn = make_batched_step(cfg, task, B, use_pallas=True)
     state, obs = reset_fn(seed=0)
     a = jnp.asarray(0.05 * np.random.default_rng(0).normal(size=(B, 1, 4)),
                     jnp.float32)
@@ -170,7 +170,7 @@ def test_fast_routing_task_matches_core():
     from gym_pybullet_drones_tpu.envs.routing import make_routing_config
     cfg, task = make_routing_config(num_drones=3, physics=Physics.DYN)
     B = 4
-    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    reset_fn, step_fn = make_batched_step(cfg, task, B, use_pallas=True)
     state, obs = reset_fn(seed=0)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     cstate, cobs, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
@@ -197,7 +197,7 @@ def test_fast_vel_action_matches_core():
                        pyb_freq=240, ctrl_freq=30)
     task = HoverTask(act=ActionType.VEL)
     B = 4
-    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    reset_fn, step_fn = make_batched_step(cfg, task, B, use_pallas=True)
     state, obs = reset_fn(seed=0)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     cstate, _, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
@@ -221,7 +221,7 @@ def test_fast_ctrl_task_flat_post():
                        pyb_freq=240, ctrl_freq=48)
     task = CtrlTask()
     B = 3
-    reset_fn, step_fn = make_batched_step(cfg, task, B, autoreset=False)
+    reset_fn, step_fn = make_batched_step(cfg, task, B, use_pallas=True, autoreset=False)
     state, obs = reset_fn(seed=0)
     assert obs.shape == (B, 2, 20)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
@@ -241,7 +241,7 @@ def test_fast_ctrl_task_flat_post():
 def _compare_fast_vs_core(cfg, task, B, adim, steps=3, seed=2,
                           scale=1.0, rtol=3e-4, atol=5e-4):
     from gym_pybullet_drones_tpu.envs import core
-    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    reset_fn, step_fn = make_batched_step(cfg, task, B, use_pallas=True)
     state, obs = reset_fn(seed=0)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     cstate, cobs, _ = jax.vmap(lambda k: core.reset(cfg, task, key=k))(keys)
@@ -302,7 +302,7 @@ def test_pallas_env_obstacle_matches_core():
     task = CtrlTask()
     from gym_pybullet_drones_tpu.envs import core
     B = 2
-    reset_fn, step_fn = make_batched_step(cfg, task, B, autoreset=False)
+    reset_fn, step_fn = make_batched_step(cfg, task, B, use_pallas=True, autoreset=False)
     state, _ = reset_fn()
     state = state._replace(
         vel=jnp.tile(jnp.asarray([[0.0, 1.5, 0.0]], jnp.float32), (B, 1)))
@@ -330,7 +330,7 @@ def test_fast_batched_step_multidrone():
     from gym_pybullet_drones_tpu.envs import MultiHoverTask
     task = MultiHoverTask(act=ActionType.RPM)
     B = 3
-    reset_fn, step_fn = make_batched_step(cfg, task, B)
+    reset_fn, step_fn = make_batched_step(cfg, task, B, use_pallas=True)
     state, obs = reset_fn(seed=0)
     a = jnp.asarray(0.03 * np.random.default_rng(1).normal(size=(B, 2, 4)),
                     jnp.float32)
@@ -356,7 +356,7 @@ def test_pallas_env_box_obstacle_matches_core():
     task = CtrlTask()
     from gym_pybullet_drones_tpu.envs import core
     B = 2
-    reset_fn, step_fn = make_batched_step(cfg, task, B, autoreset=False)
+    reset_fn, step_fn = make_batched_step(cfg, task, B, use_pallas=True, autoreset=False)
     state, _ = reset_fn()
     state = state._replace(
         vel=jnp.tile(jnp.asarray([[0.0, 1.5, 0.0]], jnp.float32), (B, 1)))
