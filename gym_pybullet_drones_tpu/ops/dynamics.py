@@ -48,22 +48,54 @@ def motor_forces_torques(params: DroneParams, rpm: jnp.ndarray):
 
     Mixer parity: reference BaseAviary.py:838-852 (incl. the RACE z-torque
     negation at :843-845 and the CF2X/CF2P arm geometry split at :846-851).
-    Arithmetic order matches the reference's left-to-right sums exactly.
+
+    Two formulations, selected by dtype:
+
+    - float64 (the parity-oracle path): left-to-right sums matching the
+      reference's NumPy arithmetic order exactly, for bitwise-trackable
+      rollout comparisons against the executed reference.
+    - float32 (the production path): each mixer component is computed as a
+      sum of FACTORED squared-rpm differences, e.g.
+      ``x = ((r0-r2)(r0+r2) + (r1-r3)(r1+r3)) * (kf*arm)``.  The naive
+      ``(f0+f1-f2-f3)*arm`` form is algebraically identical, but compiled
+      XLA rematerializes ``kf*rpm^2`` into each consumer fusion with FMA
+      contraction (excess precision), so the "same" f_i rounds differently
+      per use and the cancellation of equal thrusts leaves ~1e-10 torque
+      residuals.  Under the 7e4 attitude PID gains those residuals grow
+      ~6x per control step (measured against a float64 rollout — a
+      symmetric hover diverged to 2.5e-3 obs error in 6 control steps,
+      tests/test_fused.py history).  The factored form cancels exactly for
+      bitwise-equal rpms in ANY contraction scheme (a-a==0 is exact) and
+      is also ~4x closer to the float64 truth on random rpms (1.7e-10 vs
+      6.2e-10 max error at hover scale).
     """
     forces = rpm * rpm * params.kf                     # (..., 4)
     z_torques = rpm * rpm * params.km
     if params.model == DroneModel.RACE:
         z_torques = -z_torques
-    f0, f1, f2, f3 = (forces[..., i] for i in range(4))
-    t0, t1, t2, t3 = (z_torques[..., i] for i in range(4))
-    z_torque = -t0 + t1 - t2 + t3
-    if params.model == DroneModel.CF2P:
-        x_torque = (f1 - f3) * params.l
-        y_torque = (-f0 + f2) * params.l
-    else:  # CF2X and RACE
-        arm = params.l / math.sqrt(2)
-        x_torque = (f0 + f1 - f2 - f3) * arm
-        y_torque = (-f0 + f1 + f2 - f3) * arm
+    if rpm.dtype == jnp.float64:
+        f0, f1, f2, f3 = (forces[..., i] for i in range(4))
+        t0, t1, t2, t3 = (z_torques[..., i] for i in range(4))
+        z_torque = -t0 + t1 - t2 + t3
+        if params.model == DroneModel.CF2P:
+            x_torque = (f1 - f3) * params.l
+            y_torque = (-f0 + f2) * params.l
+        else:  # CF2X and RACE
+            arm = params.l / math.sqrt(2)
+            x_torque = (f0 + f1 - f2 - f3) * arm
+            y_torque = (-f0 + f1 + f2 - f3) * arm
+    else:
+        r0, r1, r2, r3 = (rpm[..., i] for i in range(4))
+        dsq = lambda a, b: (a - b) * (a + b)           # a^2 - b^2, exact at a==b
+        km_s = -params.km if params.model == DroneModel.RACE else params.km
+        z_torque = (dsq(r1, r0) + dsq(r3, r2)) * km_s
+        if params.model == DroneModel.CF2P:
+            x_torque = dsq(r1, r3) * (params.kf * params.l)
+            y_torque = dsq(r2, r0) * (params.kf * params.l)
+        else:  # CF2X and RACE
+            karm = params.kf * params.l / math.sqrt(2)
+            x_torque = (dsq(r0, r2) + dsq(r1, r3)) * karm
+            y_torque = (dsq(r1, r0) + dsq(r2, r3)) * karm
     torques = jnp.stack([x_torque, y_torque, z_torque], axis=-1)
     return forces, torques
 

@@ -42,17 +42,21 @@ def _motor_mix(params: DroneParams, r0, r1, r2, r3):
     kf, km = params.kf, params.km
     f0, f1, f2, f3 = (r * r * kf for r in (r0, r1, r2, r3))
     thrust = f0 + f1 + f2 + f3
-    t0, t1, t2, t3 = (r * r * km for r in (r0, r1, r2, r3))
-    if params.model == DroneModel.RACE:
-        t0, t1, t2, t3 = -t0, -t1, -t2, -t3
-    z_torque = -t0 + t1 - t2 + t3
+    # Torques via factored squared-rpm differences, exactly as the f32 branch
+    # of ops/dynamics.motor_forces_torques: (a-b)*(a+b) cancels exactly for
+    # bitwise-equal rpms regardless of FMA contraction, so symmetric hovers
+    # stay symmetric (the naive sum-of-thrusts form leaves ~1e-10 residuals
+    # that the 7e4 attitude gains amplify ~6x per control step).
+    dsq = lambda a, b: (a - b) * (a + b)
+    km_s = -km if params.model == DroneModel.RACE else km
+    z_torque = (dsq(r1, r0) + dsq(r3, r2)) * km_s
     if params.model == DroneModel.CF2P:
-        x_torque = (f1 - f3) * params.l
-        y_torque = (-f0 + f2) * params.l
+        x_torque = dsq(r1, r3) * (kf * params.l)
+        y_torque = dsq(r2, r0) * (kf * params.l)
     else:
-        arm = params.l / math.sqrt(2)
-        x_torque = (f0 + f1 - f2 - f3) * arm
-        y_torque = (-f0 + f1 + f2 - f3) * arm
+        karm = kf * params.l / math.sqrt(2)
+        x_torque = (dsq(r0, r2) + dsq(r1, r3)) * karm
+        y_torque = (dsq(r1, r0) + dsq(r2, r3)) * karm
     return thrust, x_torque, y_torque, z_torque
 
 

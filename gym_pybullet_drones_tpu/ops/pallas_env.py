@@ -116,13 +116,27 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
         r = rots[di]
         f = [rr * rr * kf for rr in rpm[di]]          # per-motor thrusts
         thrust = f[0] + f[1] + f[2] + f[3]
-        zt = [rr * rr * km for rr in rpm[di]]
-        if params.model == DroneModel.RACE:
-            zt = [-t for t in zt]
-        z_torque = -zt[0] + zt[1] - zt[2] + zt[3]
-        # tau_body = sum_i offset_i x [0, 0, f_i]  (+ z_torque about z)
-        tau_bx = sum(offs[i][1] * f[i] for i in range(4))
-        tau_by = sum(-offs[i][0] * f[i] for i in range(4))
+        # z-torque via factored squared-rpm differences (exact cancellation
+        # for equal rpms under FMA contraction — see pallas_dyn._motor_mix)
+        r0, r1, r2, r3 = rpm[di]
+        km_s = -km if params.model == DroneModel.RACE else km
+        z_torque = (((r1 - r0) * (r1 + r0)) + ((r3 - r2) * (r3 + r2))) * km_s
+        # tau_body = sum_i offset_i x [0, 0, f_i]  (+ z_torque about z),
+        # with paired factored differences for exact symmetric cancellation
+        # (ops/rigid_body._paired_prop_torque)
+        from gym_pybullet_drones_tpu.ops.rigid_body import _prop_coef_pairs
+
+        def tau_axis(coefs):
+            pairs, left = _prop_coef_pairs(coefs)
+            out = 0.0
+            for i, j, c in pairs:
+                ri, rj = rpm[di][i], rpm[di][j]
+                out = out + ((ri - rj) * (ri + rj)) * (c * kf)
+            for i in left:
+                out = out + (rpm[di][i] * rpm[di][i]) * (coefs[i] * kf)
+            return out
+        tau_bx = tau_axis([offs[i][1] for i in range(4)])
+        tau_by = tau_axis([-offs[i][0] for i in range(4)])
         tau_bz = z_torque
         fx = r[2] * thrust
         fy = r[5] * thrust
@@ -292,6 +306,7 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
                 depth = jnp.where(outside, rc - dist, pen_in)
                 extras.append(((nx, ny, nz), depth))
         extra_acc = [zero] * len(extras)
+        extra_t = [zero] * len(extras)
         for _ in range(SOLVER_ITERATIONS):
             for ki in range(4):
                 arm = arms[ki]
@@ -335,16 +350,22 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
                 v[0] = v[0] + dj * inv_m * en[0]
                 v[1] = v[1] + dj * inv_m * en[1]
                 v[2] = v[2] + dj * inv_m * en[2]
-                # linear Coulomb friction on the tangential velocity
+                # linear Coulomb friction; ACCUMULATED tangential impulse
+                # clamped to the cone mu*acc_n (matches ops/rigid_body.py)
                 vn2 = v[0] * en[0] + v[1] * en[1] + v[2] * en[2]
                 vtx = v[0] - vn2 * en[0]
                 vty = v[1] - vn2 * en[1]
                 vtz = v[2] - vn2 * en[2]
                 vt_norm = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz)
-                lim = mu * new_acc * inv_m
+                j_stop = vt_norm * params.m
+                new_t = jnp.minimum(extra_t[ei] + j_stop,
+                                    mu * new_acc) * a
+                dj_t = jnp.maximum(new_t - extra_t[ei], 0.0)
+                extra_t[ei] = new_t
+                lim_v = dj_t * inv_m
                 scale = jnp.where(
                     vt_norm > 1e-9,
-                    jnp.maximum(vt_norm - lim, 0.0)
+                    jnp.maximum(vt_norm - lim_v, 0.0)
                     / jnp.maximum(vt_norm, 1e-9), 1.0)
                 scale = jnp.where(a > 0, scale, 1.0)
                 v[0] = vtx * scale + (v[0] - vtx)

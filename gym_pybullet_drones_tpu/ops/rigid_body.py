@@ -80,6 +80,42 @@ class PybState(NamedTuple):
     ang_v: jnp.ndarray  # (..., 3) world angular velocity
 
 
+def _prop_coef_pairs(coefs):
+    """Greedy pairing of prop indices with opposite-equal coefficients.
+
+    Returns ([(i, j, c)], leftovers): each pair contributes
+    c * (f_i - f_j); leftovers contribute c_i * f_i.  All four drone
+    models' URDFs pair fully (X and + formations are symmetric)."""
+    used = [False] * len(coefs)
+    pairs, left = [], []
+    for i in range(len(coefs)):
+        if used[i]:
+            continue
+        for j in range(i + 1, len(coefs)):
+            if not used[j] and coefs[j] == -coefs[i] and coefs[i] != 0.0:
+                used[i] = used[j] = True
+                pairs.append((i, j, coefs[i]))
+                break
+        else:
+            if coefs[i] != 0.0:
+                left.append(i)
+            used[i] = True
+    return pairs, left
+
+
+def _paired_prop_torque(params: DroneParams, rpm, coefs):
+    """sum_i coefs[i] * kf * rpm_i^2 with exact symmetric cancellation:
+    paired terms are computed as (r_i-r_j)(r_i+r_j) * (c*kf)."""
+    pairs, left = _prop_coef_pairs(coefs)
+    out = jnp.zeros(rpm.shape[:-1], rpm.dtype)
+    for i, j, c in pairs:
+        ri, rj = rpm[..., i], rpm[..., j]
+        out = out + ((ri - rj) * (ri + rj)) * (c * params.kf)
+    for i in left:
+        out = out + (rpm[..., i] * rpm[..., i]) * (coefs[i] * params.kf)
+    return out
+
+
 def _ground_manifold(params: DroneParams, pos, rot, dtype):
     """4-point contact manifold on the bottom rim of the collision cylinder.
 
@@ -151,7 +187,7 @@ def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
     e_target = [jnp.where(ep > 0, beta * ep, inv_dt * ep) for _, ep in extra]
 
     def one_sweep(_, carry):
-        vel, ang_v, acc_n, acc_t1, acc_t2, extra_acc = carry
+        vel, ang_v, acc_n, acc_t1, acc_t2, extra_acc, extra_t = carry
         for ki in range(k):
             r = arms[..., ki, :]
             a = active[..., ki]
@@ -183,6 +219,7 @@ def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
                 ang_v = ang_v + iinv(jnp.cross(r, imp))
         # centered extra contacts (arm = 0: no angular coupling)
         new_extra = []
+        new_extra_t = []
         for ei, (en, _) in enumerate(extra):
             a = e_active[ei]
             vn = jnp.sum(vel * en, axis=-1)
@@ -191,19 +228,29 @@ def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
             dj = new_acc - extra_acc[ei]
             new_extra.append(new_acc)
             vel = vel + (dj * inv_m)[..., None] * en
-            # friction in the contact plane, cone-clamped (linear only)
+            # friction in the contact plane (linear only), with the
+            # ACCUMULATED tangential impulse clamped to the Coulomb cone
+            # mu * acc_n — per-sweep re-clamping against the full
+            # tangential velocity would let the total exceed the cone
+            # over SOLVER_ITERATIONS sweeps
             vt = vel - jnp.sum(vel * en, axis=-1)[..., None] * en
             vt_norm = jnp.linalg.norm(vt, axis=-1)
-            lim = mu * new_acc * inv_m                   # velocity units
+            j_stop = vt_norm * params.m                  # impulse to stop
+            new_t = jnp.minimum(extra_t[ei] + j_stop, mu * new_acc) * a
+            dj_t = jnp.maximum(new_t - extra_t[ei], 0.0)
+            new_extra_t.append(new_t)
+            lim_v = dj_t * inv_m                         # velocity units
             scale = jnp.where(vt_norm > 1e-9,
-                              jnp.maximum(vt_norm - lim, 0.0)
+                              jnp.maximum(vt_norm - lim_v, 0.0)
                               / jnp.maximum(vt_norm, 1e-9), 1.0)
             scale = jnp.where(a > 0, scale, 1.0)
             vel = vt * scale[..., None] + (vel - vt)
-        return (vel, ang_v, acc_n, acc_t1, acc_t2, tuple(new_extra))
+        return (vel, ang_v, acc_n, acc_t1, acc_t2, tuple(new_extra),
+                tuple(new_extra_t))
 
     zero_k = jnp.zeros(pen.shape, dtype)
     carry = (vel, ang_v, zero_k, zero_k, zero_k,
+             tuple(jnp.zeros(ep.shape, dtype) for _, ep in extra),
              tuple(jnp.zeros(ep.shape, dtype) for _, ep in extra))
     # fori_loop keeps the traced graph one-sweep-sized (the unrolled form
     # made downstream XLA compiles of substep x rollout programs explode)
@@ -225,23 +272,34 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
     """
     dtype = state.pos.dtype
     rot = quat_ops.quat_to_mat(state.quat)             # (..., 3, 3)
-    forces, _ = motor_forces_torques(params, rpm)      # per-motor thrusts
-    # z-torque with model-dependent sign (reference BaseAviary.py:693-697)
-    z_t = rpm * rpm * params.km
-    if params.model.value == "racer":
-        z_t = -z_t
-    z_torque = -z_t[..., 0] + z_t[..., 1] - z_t[..., 2] + z_t[..., 3]
+    # per-motor thrusts + z-torque with model-dependent sign (reference
+    # BaseAviary.py:693-697); the mixer handles the RACE negation and the
+    # f32 exact-cancellation formulation (unused x/y rows are DCE'd)
+    forces, mix_torques = motor_forces_torques(params, rpm)
+    z_torque = mix_torques[..., 2]
 
     # World force: sum of per-prop thrusts along the body z axis.
     z_axis = rot[..., :, 2]
     total_thrust = jnp.sum(forces, axis=-1)
     force_w = z_axis * total_thrust[..., None]
     # Torque about CoM from per-prop application points: R @ (off x [0,0,f])
-    offsets = jnp.asarray(params.prop_offsets, dtype=dtype)       # (4, 3)
-    f_body = jnp.zeros(forces.shape + (3,), dtype) \
-        .at[..., 2].set(forces)                                    # (..., 4, 3)
-    tau_body = jnp.sum(jnp.cross(offsets, f_body), axis=-2)       # (..., 3)
-    tau_body = tau_body.at[..., 2].add(z_torque)
+    if dtype == jnp.float64:   # parity-oracle path: shim arithmetic order
+        offsets = jnp.asarray(params.prop_offsets, dtype=dtype)   # (4, 3)
+        f_body = jnp.zeros(forces.shape + (3,), dtype) \
+            .at[..., 2].set(forces)                                # (...,4,3)
+        tau_body = jnp.sum(jnp.cross(offsets, f_body), axis=-2)   # (..., 3)
+        tau_body = tau_body.at[..., 2].add(z_torque)
+    else:
+        # f32 production path: pair props with opposite-equal offset
+        # coefficients and compute each pair as (r_i-r_j)(r_i+r_j)*(c*kf) —
+        # exact zero for bitwise-equal rpms under any FMA contraction (the
+        # cross-product sum leaves ~1e-10 residuals that the closed loop
+        # amplifies; see motor_forces_torques)
+        tau_x = _paired_prop_torque(
+            params, rpm, [o[1] for o in params.prop_offsets])
+        tau_y = _paired_prop_torque(
+            params, rpm, [-o[0] for o in params.prop_offsets])
+        tau_body = jnp.stack([tau_x, tau_y, z_torque], axis=-1)
     torque_w = jnp.einsum("...ij,...j->...i", rot, tau_body)
 
     if ext_force is not None:

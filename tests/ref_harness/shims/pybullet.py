@@ -541,6 +541,7 @@ def _solve_body_contacts(b, manifold, extra, dt):
         k_t.append([inv_m + float(np.cross(i_inv @ np.cross(arm, t), arm) @ t)
                     for t in tangents])
     extra_acc = [0.0] * len(extra)
+    extra_t = [0.0] * len(extra)
     inv_dt = 1.0 / dt
     for _ in range(_SOLVER_ITERATIONS):
         for ki, (arm, depth) in enumerate(manifold):
@@ -574,12 +575,18 @@ def _solve_body_contacts(b, manifold, extra, dt):
             dj = new_acc - extra_acc[ei]
             extra_acc[ei] = new_acc
             b.lin_vel = b.lin_vel + dj * inv_m * en
-            # linear Coulomb friction on the tangential velocity
+            # linear Coulomb friction; ACCUMULATED tangential impulse
+            # clamped to the cone mu*acc_n (matches ops/rigid_body.py)
             vt = b.lin_vel - float(b.lin_vel @ en) * en
             vt_norm = float(np.linalg.norm(vt))
             if active and vt_norm > 1e-9:
-                lim = _GROUND_FRICTION * new_acc * inv_m
-                scale = max(vt_norm - lim, 0.0) / vt_norm
+                j_stop = vt_norm * b.mass
+                new_t = min(extra_t[ei] + j_stop,
+                            _GROUND_FRICTION * new_acc)
+                dj_t = max(new_t - extra_t[ei], 0.0)
+                extra_t[ei] = new_t
+                lim_v = dj_t * inv_m
+                scale = max(vt_norm - lim_v, 0.0) / vt_norm
                 b.lin_vel = vt * scale + (b.lin_vel - vt)
 
 
