@@ -45,54 +45,68 @@ class HighLevelCommander:
 
     # -- state feed ------------------------------------------------------
     def tell_state(self, pos, yaw: float):
-        """crtpCommanderHighLevelTellState: latch current pose."""
-        if self._plan is None:
-            self._hover_pos = np.asarray(pos, float).copy()
-            self._hover_yaw = float(yaw)
+        """crtpCommanderHighLevelTellState: record the current pose.
+
+        planner.c starts every maneuver from the most recently TOLD state
+        (not a stale latch), and while no plan is active the hover target
+        tracks the told pose.
+        """
+        self._hover_pos = np.asarray(pos, float).copy()
+        self._hover_yaw = float(yaw)
 
     def update_time(self, t: float):
         self._t = float(t)
 
     # -- commands --------------------------------------------------------
     def takeoff(self, height: float, duration: float, yaw: float | None = None):
-        p1 = self._hover_pos.copy()
+        p0, y0 = self._origin()
+        p1 = p0.copy()
         p1[2] = height
-        self._start_plan(p1, self._hover_yaw if yaw is None else yaw,
-                         duration)
+        self._start_plan(p1, y0 if yaw is None else yaw, duration)
 
     def takeoff_with_velocity(self, height: float, vel: float,
                               relative: bool):
-        target_z = (self._hover_pos[2] + height) if relative else height
-        duration = max(abs(target_z - self._hover_pos[2]) / max(vel, 1e-6),
-                       0.2)
-        p1 = self._hover_pos.copy()
+        p0, y0 = self._origin()
+        target_z = (p0[2] + height) if relative else height
+        duration = max(abs(target_z - p0[2]) / max(vel, 1e-6), 0.2)
+        p1 = p0.copy()
         p1[2] = target_z
-        self._start_plan(p1, self._hover_yaw, duration)
+        self._start_plan(p1, y0, duration)
 
     def land(self, height: float, duration: float, yaw: float | None = None):
-        p1 = self._hover_pos.copy()
+        p0, y0 = self._origin()
+        p1 = p0.copy()
         p1[2] = height
-        self._start_plan(p1, self._hover_yaw if yaw is None else yaw,
-                         duration)
+        self._start_plan(p1, y0 if yaw is None else yaw, duration)
 
     def land_with_velocity(self, height: float, vel: float, relative: bool):
         self.takeoff_with_velocity(height, vel, relative)
 
     def go_to(self, x: float, y: float, z: float, yaw: float,
               duration: float, relative: bool):
+        p0, y0 = self._origin()
         p1 = np.array([x, y, z], float)
         if relative:
-            p1 = self._hover_pos + p1
-            yaw = self._hover_yaw + yaw
+            p1 = p0 + p1
+            yaw = y0 + yaw
         self._start_plan(p1, yaw, duration)
 
     def stop(self):
         self._plan = None
 
+    def _origin(self):
+        """Maneuver start pose: the current plan evaluation when one is
+        active (planner.c continues from plan_current_goal), else the most
+        recently told state."""
+        if self._plan is not None:
+            pos, _, _, yaw = self.get_setpoint()
+            return np.asarray(pos, float), float(yaw)
+        return self._hover_pos.copy(), self._hover_yaw
+
     def _start_plan(self, p1, yaw1: float, duration: float):
+        p0, y0 = self._origin()
         self._plan = (self._t, max(float(duration), 1e-3),
-                      self._hover_pos.copy(), np.asarray(p1, float),
-                      self._hover_yaw, float(yaw1))
+                      p0, np.asarray(p1, float), y0, float(yaw1))
 
     # -- evaluation ------------------------------------------------------
     def get_setpoint(self):
@@ -103,10 +117,9 @@ class HighLevelCommander:
         t0, T, p0, p1, y0, y1 = self._plan
         u = (self._t - t0) / T
         if u >= 1.0:
-            # maneuver complete: hover at the endpoint
-            self._hover_pos = p1.copy()
-            self._hover_yaw = y1
-            self._plan = None
+            # maneuver complete: hold the endpoint (planner.c keeps the
+            # finished plan active as a hover at its final point until
+            # stop() or a new command)
             return p1.copy(), np.zeros(3), np.zeros(3), y1
         s, ds, d2s = _smooth(u)
         pos = p0 + (p1 - p0) * s
