@@ -91,22 +91,25 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
         lambda k: core.reset(cfg, task, key=k, dtype=dtype))
 
     def _flatten(s: core.EnvState) -> core.EnvState:
-        r2 = lambda x: x.reshape((bn,) + x.shape[2:])
+        # -1: under shard_map the leaves are the LOCAL shard, not num_envs
+        r2 = lambda x: x.reshape((-1,) + x.shape[2:])
         return s._replace(
             pos=r2(s.pos), quat=r2(s.quat), vel=r2(s.vel),
             rpy_rates=r2(s.rpy_rates), ang_v=r2(s.ang_v),
             last_rpm=r2(s.last_rpm),
-            action_buffer=s.action_buffer.reshape(bn, buf_len * act_dim),
+            action_buffer=s.action_buffer.reshape(-1, buf_len * act_dim),
             ctrl_state=jax.tree.map(r2, s.ctrl_state))
 
     def _unflatten(s: core.EnvState) -> core.EnvState:
-        r3 = lambda x: x.reshape((num_envs, n) + x.shape[1:])
+        # infer the env count from the leaves: under shard_map each shard
+        # sees its LOCAL slice, not the global num_envs
+        r3 = lambda x: x.reshape((-1, n) + x.shape[1:])
         return s._replace(
             pos=r3(s.pos), quat=r3(s.quat), vel=r3(s.vel),
             rpy_rates=r3(s.rpy_rates), ang_v=r3(s.ang_v),
             last_rpm=r3(s.last_rpm),
             action_buffer=s.action_buffer.reshape(
-                num_envs, n, buf_len, act_dim),
+                -1, n, buf_len, act_dim),
             ctrl_state=jax.tree.map(r3, s.ctrl_state))
 
     def _unflatten_view(s: core.EnvState) -> core.EnvState:

@@ -8,6 +8,7 @@ should use `BatchedEnv` or the functional API directly.
 """
 from __future__ import annotations
 
+import math
 import time
 
 import numpy as np
@@ -197,9 +198,14 @@ class FunctionalAviary(gym.Env):
             # MJPEG-AVI because this image ships no ffmpeg)
             from gym_pybullet_drones_tpu.utils.video import \
                 assemble_frame_dir
+            # frames are only captured when the step counter (advancing by
+            # steps_per_ctrl per env step) lands on a CAPTURE_FREQ multiple,
+            # so the EFFECTIVE interval is lcm(CAPTURE_FREQ, steps_per_ctrl)
+            # substeps — using the nominal CAPTURE_FREQ here would play the
+            # video up to steps_per_ctrl/gcd times too fast
+            interval = math.lcm(self.CAPTURE_FREQ, self.cfg.steps_per_ctrl)
             out = assemble_frame_dir(
-                self._record_dir,
-                fps=self.cfg.pyb_freq / self.CAPTURE_FREQ)
+                self._record_dir, fps=self.cfg.pyb_freq / interval)
             if out:
                 print(f"[INFO] recording assembled: {out}")
 
@@ -260,7 +266,11 @@ class FunctionalAviary(gym.Env):
 # as its exact sphere.  4-tuple = sphere, 6-tuple = box (center + half
 # extents) — see envs/core.AviaryConfig.obstacles.
 OBSTACLE_SPHERES = (
-    (-0.5, -0.5, 0.05, 0.1),            # duck (bounding sphere)
+    (-0.5, -0.5, 0.05, 0.06),           # duck (bounding sphere; the same
+                                        # r=0.06 primitive the ref_harness
+                                        # shim assigns duck_vhacd.urdf, so
+                                        # obstacle parity runs compare like
+                                        # for like — see PARITY.md)
     (-0.5, -2.5, 0.5, 0.5, 0.5, 0.5),   # cube_no_rotation (1 m box)
     (0.0, 2.0, 0.5, 0.5),               # sphere2
 )

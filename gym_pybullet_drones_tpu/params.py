@@ -348,23 +348,36 @@ def load_obstacle_urdf(path: str, position=(0.0, 0.0, 0.0)) -> tuple:
     is converted to its bounding box.  `position` places the body in the
     world (role of the basePosition argument of the reference's
     p.loadURDF, e.g. examples/debug.py:19-20).
+
+    Limitations: only the FIRST link's first collision (or visual) geometry
+    is used and its <origin rpy> is ignored — shapes are placed axis-aligned
+    at base position + collision <origin xyz>.  Multi-link or rotated
+    obstacle URDFs need explicit obstacle tuples instead.
     """
     root = etxml.parse(path).getroot()
     geom = None
+    origin = (0.0, 0.0, 0.0)
     for link in root.iter("link"):
         coll = link.find("collision")
         if coll is not None:
             geom = coll.find("geometry")[0]
+            og = coll.find("origin")
+            if og is not None and "xyz" in og.attrib:
+                origin = tuple(float(s) for s in og.attrib["xyz"].split())
             break
     if geom is None:  # visual-only URDF: fall back to the visual geometry
         for link in root.iter("link"):
             vis = link.find("visual")
             if vis is not None:
                 geom = vis.find("geometry")[0]
+                og = vis.find("origin")
+                if og is not None and "xyz" in og.attrib:
+                    origin = tuple(
+                        float(s) for s in og.attrib["xyz"].split())
                 break
     if geom is None:
         raise ValueError(f"no collision/visual geometry in {path}")
-    x, y, z = (float(v) for v in position)
+    x, y, z = (float(v) + o for v, o in zip(position, origin))
     if geom.tag == "sphere":
         return (x, y, z, float(geom.attrib["radius"]))
     if geom.tag == "box":
