@@ -7,7 +7,9 @@ All timings force a host readback per iteration (see bench.py).
 """
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 import jax
@@ -57,6 +59,12 @@ def _bench_env(cfg, task, num_envs, chunk=1024, repeats=3, act_dim=4):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_ALL_r03.json",
+                    help="versioned artifact path (repo root); every "
+                         "SCALING.md measurement row must come from this "
+                         "file (tests/test_docs_consistency.py)")
+    args = ap.parse_args()
     results = []
 
     # MultiHover: 2-drone multi-agent, 8192 envs (fused-path lanes are
@@ -160,6 +168,14 @@ def main():
 
     for r in results:
         print(json.dumps(r))
+    meta = {"platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "generated_by": "bench_all.py"}
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            args.out)
+    with open(out_path, "w") as f:
+        json.dump({"meta": meta, "results": results}, f, indent=1)
+    print(f"-> {out_path}")
 
 
 if __name__ == "__main__":

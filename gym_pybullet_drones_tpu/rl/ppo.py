@@ -45,6 +45,7 @@ class PPOConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     anneal_lr: bool = False
+    hidden: tuple = (64, 64)       # MLP tower widths (ActorCritic)
     # SB3-exact minibatch semantics: shuffle the flattened (T*E) batch each
     # epoch (stable-baselines3 RolloutBuffer.get).  Default False = time-axis
     # minibatching (random timestep subsets, all envs per minibatch), which
@@ -115,7 +116,8 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
             from gym_pybullet_drones_tpu.models.cnn import ActorCriticCNN
             network = ActorCriticCNN(action_dim=act_dim)
         else:
-            network = ActorCritic(action_dim=act_dim)
+            network = ActorCritic(action_dim=act_dim,
+                                  hidden=tuple(ppo.hidden))
 
     # throughput path, fastest first: the fully-fused one-launch env step
     # (ops/pallas_fused.py) when the (cfg, task, dtype) combination is
@@ -302,20 +304,33 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
         return jax.lax.scan(lambda t, _: update(t), ts, None,
                             length=num_updates)
 
-    def evaluate(params, key, num_steps: int = 240):
-        """Deterministic-policy rollout; returns summed reward per env."""
+    def evaluate(params, key, num_steps: int = 240,
+                 episodic: bool = False):
+        """Deterministic-policy rollout; returns summed reward per env.
+
+        episodic=True reproduces the reference's episode accounting
+        (SB3 EvalCallback): rewards stop accumulating after the first
+        terminated/truncated signal.  The reference episode truly lasts
+        EPISODE_LEN_SEC * ctrl_freq + 2 control steps (the pre-increment
+        step counter, QUIRKS.md #11), so threshold comparisons should
+        pass num_steps=242 for the 8 s tasks.
+        """
         env_state, obs = batched_reset()
         obs = _flat_obs(obs)
+        alive0 = jnp.ones(obs.shape[0], bool)
 
         def step_fn(carry, _):
-            env_state, obs = carry
+            env_state, obs, alive = carry
             mean, _, _ = network.apply(params, obs)
             act_env = mean.reshape(-1, n_drones, act_dim_per_drone)
             env_state, next_obs, reward, term, trunc = batched_step(
                 env_state, act_env)[:5]
-            return (env_state, _flat_obs(next_obs)), reward
+            if episodic:
+                reward = jnp.where(alive, reward, 0.0)
+                alive = alive & ~(term | trunc)
+            return (env_state, _flat_obs(next_obs), alive), reward
 
-        _, rewards = jax.lax.scan(step_fn, (env_state, obs), None,
+        _, rewards = jax.lax.scan(step_fn, (env_state, obs, alive0), None,
                                   length=num_steps)
         return rewards.sum(axis=0)
 

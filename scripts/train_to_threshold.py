@@ -6,8 +6,14 @@ evaluation curve to artifacts/learning_curve_<task>_seed<seed>.json.  The
 thresholds are the reference's early-stop values
 (/root/reference/gym_pybullet_drones/examples/learn.py:78-83).
 
-Usage: python scripts/train_to_threshold.py [--multiagent] [--seed 0]
-       [--platform cpu|tpu] [--max_updates 400]
+Usage: python scripts/train_to_threshold.py [--multiagent | --routing]
+       [--seed 0] [--platform cpu|tpu] [--max_updates 400]
+
+--routing trains the routing fork's namesake task (3 drones, reversed-line
+goals, PID waypoint actions) and targets an ALL-ARRIVALS rate >= 0.9 over
+64 deterministic eval episodes at the fixed seed — the success metric
+VERDICT round 2 asked to define and hit (there is no reference threshold:
+the reference never trains its routing machinery).
 """
 import argparse
 import json
@@ -21,10 +27,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--multiagent", action="store_true")
+    ap.add_argument("--routing", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--max_updates", type=int, default=400)
     ap.add_argument("--num_envs", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=64,
+                    help="MLP tower width (two layers)")
+    ap.add_argument("--gamma", type=float, default=0.99)
     ap.add_argument("--anneal", action="store_true",
                     help="linear LR anneal over max_updates (used for the "
                          "committed Hover artifact: reaches 474.15 at "
@@ -43,22 +53,60 @@ def main():
     from gym_pybullet_drones_tpu.rl import PPOConfig, make_train
     from gym_pybullet_drones_tpu.utils.enums import ActionType, Physics
 
-    num_drones = 2 if args.multiagent else 1
-    target = 949.5 if args.multiagent else 474.15
-    name = "multihover" if args.multiagent else "hover"
-    cfg = AviaryConfig(drone=P.CF2X, num_drones=num_drones,
-                       physics=Physics.PYB, pyb_freq=240, ctrl_freq=30)
-    task_cls = MultiHoverTask if args.multiagent else HoverTask
-    task = task_cls(act=ActionType.ONE_D_RPM)
+    if args.routing:
+        from gym_pybullet_drones_tpu.envs import make_routing_config
+        from gym_pybullet_drones_tpu.envs.fast import make_batched_step
+        cfg, task = make_routing_config(num_drones=3, spacing=0.4)
+        name, target = "routing", 0.9     # all-arrivals rate
+    else:
+        num_drones = 2 if args.multiagent else 1
+        target = 949.5 if args.multiagent else 474.15
+        name = "multihover" if args.multiagent else "hover"
+        cfg = AviaryConfig(drone=P.CF2X, num_drones=num_drones,
+                           physics=Physics.PYB, pyb_freq=240, ctrl_freq=30)
+        task_cls = MultiHoverTask if args.multiagent else HoverTask
+        task = task_cls(act=ActionType.ONE_D_RPM)
     ppo = PPOConfig(num_envs=args.num_envs, rollout_steps=64,
                     num_minibatches=4, update_epochs=10,
                     total_timesteps=args.max_updates * args.num_envs * 64,
-                    anneal_lr=args.anneal)
-    init, update, evaluate, _ = make_train(cfg, task, ppo)
+                    anneal_lr=args.anneal, gamma=args.gamma,
+                    hidden=(args.hidden, args.hidden))
+    init, update, evaluate, network = make_train(cfg, task, ppo)
 
     ts = init(jax.random.key(args.seed))
     upd = jax.jit(update)
-    eval_fn = jax.jit(lambda p, k: evaluate(p, k, num_steps=8 * 30))
+    if args.routing:
+        # success metric: fraction of 64 deterministic episodes in which
+        # EVERY drone reaches its destination (terminated fires) within
+        # the 16 s episode horizon
+        n_eval = 64
+        horizon = int(task.episode_len_sec * cfg.ctrl_freq)
+        er, es = make_batched_step(cfg, task, n_eval, autoreset=False,
+                                   obs_layout="flat")
+
+        def _arrival_rate(params, _key):
+            st, obs = er()
+
+            def step_fn(carry, _):
+                st, obs, ever = carry
+                mean, _, _ = network.apply(params, obs)
+                act = mean.reshape(-1, cfg.num_drones,
+                                   task.action_dim(cfg))
+                st, obs, _, term, _ = es(st, act)
+                return (st, obs, ever | term), None
+
+            (_, _, ever), _ = jax.lax.scan(
+                step_fn, (st, obs, jnp.zeros(n_eval, bool)), None,
+                length=horizon)
+            return jnp.mean(ever.astype(jnp.float32))
+        eval_fn = jax.jit(_arrival_rate)
+    else:
+        # reference episode accounting: 8 s episodes actually span
+        # 8*30 + 2 control steps (pre-increment step counter, QUIRKS.md
+        # #11) and SB3's EvalCallback stops summing at the first
+        # terminated/truncated — evaluate(episodic=True) reproduces both
+        eval_fn = jax.jit(lambda p, k: evaluate(
+            p, k, num_steps=8 * 30 + 2, episodic=True))
 
     curve = []
     start = time.time()
@@ -84,12 +132,16 @@ def main():
 
     out = {
         "task": name,
-        "action_type": "one_d_rpm",
+        "metric": "all_arrivals_rate" if args.routing else "eval_return",
+        "action_type": "pid_waypoint" if args.routing else "one_d_rpm",
         "seed": args.seed,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "target_reward": target,
         "reference_source":
+            ("gym_pybullet_drones/envs/BaseAviary.py:1105-1147 "
+             "(routing machinery; threshold is ours — the reference "
+             "defines none)") if args.routing else
             "gym_pybullet_drones/examples/learn.py:78-83",
         "reached": reached_at is not None,
         "reached_at_update": reached_at,
@@ -99,7 +151,8 @@ def main():
         "ppo": {"num_envs": ppo.num_envs, "rollout_steps": ppo.rollout_steps,
                 "num_minibatches": ppo.num_minibatches,
                 "update_epochs": ppo.update_epochs, "lr": ppo.lr,
-                "anneal_lr": ppo.anneal_lr},
+                "anneal_lr": ppo.anneal_lr, "gamma": ppo.gamma,
+                "hidden": list(ppo.hidden)},
         "curve": curve,
     }
     os.makedirs(os.path.join(os.path.dirname(__file__), "..", "artifacts"),
