@@ -28,6 +28,11 @@ def run(num_envs=4096, num_drones=4, duration_sec=8, render_frame=True,
     # PID-controlled flight tumble in DYN)
     cfg, task = make_routing_config(num_drones=num_drones,
                                     physics=Physics.PYB)
+    # scripted flight: command the absolute destinations (the reference
+    # BaseRLAviary PID convention); the trainable default is
+    # relative_actions=True (see envs/routing.py)
+    import dataclasses
+    task = dataclasses.replace(task, relative_actions=False)
     dests = jnp.asarray(task.destinations, jnp.float32)
     # no auto-reset: we want the final arrival snapshot, not episode cycling
     reset_fn, step_fn = make_batched_step(cfg, task, num_envs,

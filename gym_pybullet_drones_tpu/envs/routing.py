@@ -29,11 +29,19 @@ class RoutingTask(RLTask):
     """Per-drone goal navigation with waypoint stepping and safety shaping.
 
     destinations: ((x, y, z), ...) per drone (tuple -> hashable/static).
-    Action (PID type): a target position per drone, advanced at most
-    `step_size` per control step toward it (the inherited PID branch applies
-    the waypoint clamp using this task's step_size field).
-    Reward: progress toward goal, arrival bonus, separation penalty within
-    `collision_radius`.
+    Action (PID type): a step_size-scaled displacement per drone (see
+    relative_actions below), waypoint-clamped per control step exactly as
+    the reference's intermediate-waypoint rule clamps absolute
+    destinations.
+    Reward (shaped=True, the trainable default): per-drone PROGRESS rate
+    toward the goal (velocity projected on the goal direction, gated off
+    within arrival_tol) + a per-step arrival hold bonus - separation
+    penalty.  Near-zero-mean by construction, so PPO value targets stay
+    O(1) — the raw distance-sum form (shaped=False) gives returns of
+    -d_sum/(1-gamma) ~ -1000 whose value regression dominates and
+    collapses the policy (measured: 16M env-steps ended in
+    hover-at-spawn with v_loss -> 0).  shaped=False keeps the plain
+    -distance form for analysis.
     """
 
     act: ActionType = ActionType.PID
@@ -43,6 +51,26 @@ class RoutingTask(RLTask):
     arrival_tol: float = 0.05
     collision_radius: float = 0.12
     step_size: float = 1.0
+    # trainable action parameterization: the policy emits a
+    # step_size-scaled displacement from the current position (the
+    # waypoint the drone should fly next), not an absolute world
+    # destination.  Absolute actions (the reference BaseRLAviary PID
+    # convention, relative_actions=False) give a Gaussian policy no
+    # gradient path from its zero-mean init to far-away goals —
+    # measured: 16M env-steps of PPO left the fleet ~1.3 m from its
+    # goals with collapsed exploration, while the relative form learns
+    # the same task to >90% all-arrivals (artifacts/
+    # learning_curve_routing_seed0.json).
+    relative_actions: bool = True
+    shaped: bool = True
+    progress_gain: float = 10.0
+    arrival_hold: float = 2.0
+    # displacement scale for relative actions (smaller than the waypoint
+    # clamp: a unit policy output commands a 0.25 m step, keeping
+    # exploration noise from tilt-truncating episodes ~1 s in — measured
+    # mean episode length was ~26 control steps under sigma=1 noise at
+    # scale 1.0)
+    action_scale: float = 0.25
 
     def _dest(self, state):
         return jnp.asarray(self.destinations, state.pos.dtype)
@@ -65,7 +93,8 @@ class RoutingTask(RLTask):
         return jnp.concatenate([base, goal_vec, nn_vec], axis=-1)
 
     def compute_reward(self, cfg, state):
-        d = jnp.linalg.norm(self._dest(state) - state.pos, axis=-1)  # (N,)
+        gv = self._dest(state) - state.pos                           # (N, 3)
+        d = jnp.linalg.norm(gv, axis=-1)                             # (N,)
         arrival = (d < self.arrival_tol).astype(state.pos.dtype)
         # separation penalty from the adjacency structure
         diff = state.pos[None, :, :] - state.pos[:, None, :]
@@ -73,7 +102,16 @@ class RoutingTask(RLTask):
         n = cfg.num_drones
         close = (dist < self.collision_radius) & ~jnp.eye(n, dtype=bool)
         penalty = jnp.sum(close.astype(state.pos.dtype), axis=-1)
-        return jnp.sum(-d + 10.0 * arrival - 5.0 * penalty)
+        if not self.shaped:
+            return jnp.sum(-d + 10.0 * arrival - 5.0 * penalty)
+        unit = gv / jnp.maximum(d, self.arrival_tol)[..., None]
+        prog = jnp.sum(state.vel * unit, axis=-1) * cfg.ctrl_dt
+        # smooth hold bonus: exp(-d/tol) is dense through the final
+        # approach (a hard d<tol cliff left policies parked ~0.15 m out)
+        hold = jnp.exp(-d / self.arrival_tol)
+        per = (self.progress_gain * prog * (1.0 - arrival)
+               + self.arrival_hold * hold)
+        return jnp.sum(per - 5.0 * penalty)
 
     def compute_terminated(self, cfg, state):
         d = jnp.linalg.norm(self._dest(state) - state.pos, axis=-1)
@@ -110,7 +148,9 @@ class RoutingTask(RLTask):
     def flat_reward_done(self, cfg, flat, rpy, num_envs, num_drones):
         b, n = num_envs, num_drones
         dest = jnp.tile(self._dest(flat), (b, 1))
-        d = jnp.linalg.norm(dest - flat.pos, axis=-1).reshape(b, n)
+        gv = dest - flat.pos                                     # (B*N, 3)
+        d_flat = jnp.linalg.norm(gv, axis=-1)
+        d = d_flat.reshape(b, n)
         arrival = (d < self.arrival_tol).astype(flat.pos.dtype)
         pos = flat.pos.reshape(b, n, 3)
         diff = pos[:, None, :, :] - pos[:, :, None, :]
@@ -118,7 +158,16 @@ class RoutingTask(RLTask):
         close = (dist < self.collision_radius) & \
             ~jnp.eye(n, dtype=bool)[None]
         penalty = jnp.sum(close.astype(flat.pos.dtype), axis=(-2, -1))
-        reward = jnp.sum(-d + 10.0 * arrival, axis=-1) - 5.0 * penalty
+        if self.shaped:
+            unit = gv / jnp.maximum(d_flat, self.arrival_tol)[..., None]
+            prog = (jnp.sum(flat.vel * unit, axis=-1)
+                    * cfg.ctrl_dt).reshape(b, n)
+            hold = jnp.exp(-d / self.arrival_tol)
+            per = (self.progress_gain * prog * (1.0 - arrival)
+                   + self.arrival_hold * hold)
+            reward = jnp.sum(per, axis=-1) - 5.0 * penalty
+        else:
+            reward = jnp.sum(-d + 10.0 * arrival, axis=-1) - 5.0 * penalty
         term = jnp.all(d < self.arrival_tol, axis=-1)
         rpy2 = rpy.reshape(b, n, 3)
         tilted = jnp.any((jnp.abs(rpy2[..., 0]) > 0.8)
@@ -169,14 +218,25 @@ class RoutingTask(RLTask):
         n = len(drones)
         reward, term_all = None, None
         tilted_any = None
+        ctrl_dt = cfg.ctrl_dt
         for i in range(n):
             pi = drones[i]["p"]
+            vi = drones[i]["v"]
             roll, pitch, _ = drones[i]["rpy"]
             dest = self.destinations[i]
             dx = [float(dest[k]) - pi[k] for k in range(3)]
             d = jnp.sqrt(dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2])
             arrived = d < self.arrival_tol
-            r = -d + 10.0 * arrived.astype(d.dtype)
+            af = arrived.astype(d.dtype)
+            if self.shaped:
+                inv = 1.0 / jnp.maximum(d, self.arrival_tol)
+                prog = ((vi[0] * dx[0] + vi[1] * dx[1] + vi[2] * dx[2])
+                        * inv * ctrl_dt)
+                hold = jnp.exp(-d / self.arrival_tol)
+                r = (self.progress_gain * prog * (1.0 - af)
+                     + self.arrival_hold * hold)
+            else:
+                r = -d + 10.0 * af
             reward = r if reward is None else reward + r
             term_all = arrived if term_all is None else term_all & arrived
             t = (jnp.abs(roll) > 0.8) | (jnp.abs(pitch) > 0.8)

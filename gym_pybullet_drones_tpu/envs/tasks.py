@@ -200,9 +200,17 @@ class RLTask:
         zeros = jnp.zeros_like(state.pos)
         if self.act == ActionType.PID:
             # waypoint step size: RoutingTask overrides via its step_size
-            # field; the reference uses 1.0 (BaseRLAviary.py:195-199)
+            # field; the reference uses 1.0 (BaseRLAviary.py:195-199).
+            # relative_actions (RoutingTask's trainable parameterization):
+            # the action is a step_size-scaled DISPLACEMENT from the
+            # current position instead of an absolute destination.
             step = getattr(self, "step_size", 1.0)
-            return (next_waypoint(state.pos, action, step_size=step),
+            if getattr(self, "relative_actions", False):
+                scale = getattr(self, "action_scale", step)
+                dest = state.pos + scale * action
+            else:
+                dest = action
+            return (next_waypoint(state.pos, dest, step_size=step),
                     zeros, zeros, zeros)
         if self.act == ActionType.VEL:
             v = action[..., 0:3]

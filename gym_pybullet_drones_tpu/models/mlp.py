@@ -21,25 +21,40 @@ class ActorCritic(nn.Module):
 
     action_dim: int
     hidden: Sequence[int] = (64, 64)
+    log_std_init: float = 0.0
+    # computation dtype for the Dense layers (params stay float32 master
+    # weights; flax casts per-layer).  bfloat16 halves the HBM traffic of
+    # the minibatch gradient passes, which the roofline shows are
+    # memory-bound (artifacts/roofline.json: AI ~24 flops/byte vs machine
+    # balance ~120).  Outputs are cast back to float32 for the loss.
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray):
         ortho = nn.initializers.orthogonal
-        x = obs
+        cd = self.compute_dtype
+        x = obs if cd is None else obs.astype(cd)
         for h in self.hidden:
             x = nn.tanh(nn.Dense(h, kernel_init=ortho(np.sqrt(2)),
-                                 bias_init=nn.initializers.zeros)(x))
+                                 bias_init=nn.initializers.zeros,
+                                 dtype=cd)(x))
         mean = nn.Dense(self.action_dim, kernel_init=ortho(0.01),
-                        bias_init=nn.initializers.zeros)(x)
-        log_std = self.param("log_std", nn.initializers.zeros,
-                             (self.action_dim,))
+                        bias_init=nn.initializers.zeros, dtype=cd)(x)
+        log_std = self.param(
+            "log_std",
+            nn.initializers.constant(self.log_std_init),
+            (self.action_dim,))
 
-        v = obs
+        v = obs if cd is None else obs.astype(cd)
         for h in self.hidden:
             v = nn.tanh(nn.Dense(h, kernel_init=ortho(np.sqrt(2)),
-                                 bias_init=nn.initializers.zeros)(v))
+                                 bias_init=nn.initializers.zeros,
+                                 dtype=cd)(v))
         value = nn.Dense(1, kernel_init=ortho(1.0),
-                         bias_init=nn.initializers.zeros)(v)
+                         bias_init=nn.initializers.zeros, dtype=cd)(v)
+        if cd is not None:
+            mean = mean.astype(jnp.float32)
+            value = value.astype(jnp.float32)
         return mean, log_std, jnp.squeeze(value, axis=-1)
 
 

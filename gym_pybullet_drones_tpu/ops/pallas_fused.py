@@ -95,13 +95,22 @@ def _kernel(params: DroneParams, task, cfg, n: int, n_substeps: int,
             zero = p[0] * 0.0
             if act == ActionType.PID:
                 # waypoint clamp (core.next_waypoint; reference
-                # BaseAviary._calculateNextStep :1105-1147)
+                # BaseAviary._calculateNextStep :1105-1147); with
+                # relative_actions the action is a step-scaled
+                # displacement (tasks.RLTask._pid_targets)
                 step = float(getattr(task, "step_size", 1.0))
-                dx = [a[k] - p[k] for k in range(3)]
+                if getattr(task, "relative_actions", False):
+                    # NOTE: keep `a` untouched — the history ring below
+                    # stores the RAW action
+                    scale = float(getattr(task, "action_scale", step))
+                    dest = [p[k] + scale * a[k] for k in range(3)]
+                else:
+                    dest = a
+                dx = [dest[k] - p[k] for k in range(3)]
                 dist = jnp.sqrt(dx[0] * dx[0] + dx[1] * dx[1]
                                 + dx[2] * dx[2])
                 safe = jnp.where(dist > 0.0, dist, 1.0)
-                tp = [jnp.where(dist <= step, a[k],
+                tp = [jnp.where(dist <= step, dest[k],
                                 p[k] + dx[k] / safe * step)
                       for k in range(3)]
                 tgt = tp + [zero] * 9

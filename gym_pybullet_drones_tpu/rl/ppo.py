@@ -46,6 +46,10 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     anneal_lr: bool = False
     hidden: tuple = (64, 64)       # MLP tower widths (ActorCritic)
+    log_std_init: float = 0.0      # initial policy exploration (log sigma)
+    # 'bfloat16' runs the policy/value Dense layers in bf16 with float32
+    # master weights (models/mlp.py); None = full float32
+    compute_dtype: str | None = None
     # SB3-exact minibatch semantics: shuffle the flattened (T*E) batch each
     # epoch (stable-baselines3 RolloutBuffer.get).  Default False = time-axis
     # minibatching (random timestep subsets, all envs per minibatch), which
@@ -116,8 +120,12 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
             from gym_pybullet_drones_tpu.models.cnn import ActorCriticCNN
             network = ActorCriticCNN(action_dim=act_dim)
         else:
+            cd = (jnp.dtype(ppo.compute_dtype)
+                  if ppo.compute_dtype else None)
             network = ActorCritic(action_dim=act_dim,
-                                  hidden=tuple(ppo.hidden))
+                                  hidden=tuple(ppo.hidden),
+                                  log_std_init=ppo.log_std_init,
+                                  compute_dtype=cd)
 
     # throughput path, fastest first: the fully-fused one-launch env step
     # (ops/pallas_fused.py) when the (cfg, task, dtype) combination is

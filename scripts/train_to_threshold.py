@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--hidden", type=int, default=64,
                     help="MLP tower width (two layers)")
     ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--log_std_init", type=float, default=0.0)
     ap.add_argument("--anneal", action="store_true",
                     help="linear LR anneal over max_updates (used for the "
                          "committed Hover artifact: reaches 474.15 at "
@@ -70,6 +71,7 @@ def main():
                     num_minibatches=4, update_epochs=10,
                     total_timesteps=args.max_updates * args.num_envs * 64,
                     anneal_lr=args.anneal, gamma=args.gamma,
+                    log_std_init=args.log_std_init,
                     hidden=(args.hidden, args.hidden))
     init, update, evaluate, network = make_train(cfg, task, ppo)
 
@@ -152,6 +154,7 @@ def main():
                 "num_minibatches": ppo.num_minibatches,
                 "update_epochs": ppo.update_epochs, "lr": ppo.lr,
                 "anneal_lr": ppo.anneal_lr, "gamma": ppo.gamma,
+                "log_std_init": ppo.log_std_init,
                 "hidden": list(ppo.hidden)},
         "curve": curve,
     }

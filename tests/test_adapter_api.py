@@ -63,14 +63,19 @@ def test_routing_task_structure():
     goal = np.asarray(obs[0, -6:-3])
     expect = np.asarray(task.destinations[0]) - np.asarray(st.pos[0])
     np.testing.assert_allclose(goal, expect, atol=1e-5)
-    # reward: negative at spawn (far from goals), arrival bonus when there
+    # shaped reward (routing.py): ~0 hovering at spawn (no progress, no
+    # hold), strongly positive at the goals (hold bonus), and the plain
+    # distance form behind shaped=False keeps its old semantics
     far_reward = float(task.compute_reward(cfg, st))
-    assert far_reward < 0
     st_goal = st._replace(pos=jnp.asarray(task.destinations, jnp.float32))
     near_reward = float(task.compute_reward(cfg, st_goal))
     assert near_reward > far_reward
-    assert near_reward >= 3 * 10.0 - 1e-3  # all arrival bonuses
+    assert near_reward >= 3 * task.arrival_hold - 1e-3  # all hold bonuses
     assert bool(task.compute_terminated(cfg, st_goal))
+    import dataclasses as _dc
+    raw = _dc.replace(task, shaped=False)
+    assert float(raw.compute_reward(cfg, st)) < 0
+    assert float(raw.compute_reward(cfg, st_goal)) >= 3 * 10.0 - 1e-3
     # collision penalty: stack all drones at one point
     st_crash = st._replace(pos=jnp.zeros((3, 3), jnp.float32)
                            .at[:, 2].set(1.0))
