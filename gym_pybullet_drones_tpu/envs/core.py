@@ -36,7 +36,8 @@ from gym_pybullet_drones_tpu.params import DroneParams
 from gym_pybullet_drones_tpu.utils.enums import Physics
 from gym_pybullet_drones_tpu.ops import aero, quat as quat_ops
 from gym_pybullet_drones_tpu.ops.dynamics import DynState, dyn_step
-from gym_pybullet_drones_tpu.ops.rigid_body import PybState, pyb_step
+from gym_pybullet_drones_tpu.ops.rigid_body import (
+    PybState, pyb_step, resolve_drone_collisions)
 from gym_pybullet_drones_tpu.control import dsl_pid
 
 
@@ -208,17 +209,17 @@ def _apply_physics_substep(cfg: AviaryConfig, state: EnvState,
                    ang_v=state.ang_v)
     out = pyb_step(d, pyb, rpm, dt, ext_force=ext_f, ext_torque=ext_t,
                    obstacles=cfg.obstacles)
-    pos, vel = out.pos, out.vel
+    pos, vel, ang_v = out.pos, out.vel, out.ang_v
     if cfg.num_drones > 1:
         # Bullet resolves drone-drone contact in all PYB* modes (every
         # drone lives in one world, reference BaseAviary.py:484-491); DYN
         # mode has no contact in the reference either (state is reset, not
-        # stepped, :862-872)
-        from gym_pybullet_drones_tpu.ops.rigid_body import (
-            resolve_drone_collisions)
-        pos, vel = resolve_drone_collisions(d, pos, vel, dt)
+        # stepped, :862-872).  Cylinder-manifold contact with angular
+        # response (normal lever arms + Coulomb friction torque).
+        pos, vel, ang_v = resolve_drone_collisions(
+            d, pos, vel, dt, quat=out.quat, ang_v=ang_v)
     return state._replace(pos=pos, quat=out.quat, vel=vel,
-                          ang_v=out.ang_v, last_rpm=rpm)
+                          ang_v=ang_v, last_rpm=rpm)
 
 
 def reset(cfg: AviaryConfig, task, key: jax.Array | None = None,
@@ -257,14 +258,23 @@ def reset(cfg: AviaryConfig, task, key: jax.Array | None = None,
     return state, obs, {}
 
 
-def step(cfg: AviaryConfig, task, state: EnvState, action: jnp.ndarray):
+def step(cfg: AviaryConfig, task, state: EnvState, action: jnp.ndarray,
+         rpm_override: jnp.ndarray | None = None):
     """One control step: (state, obs, reward, terminated, truncated, info).
 
     Control-flow parity with reference BaseAviary.step (:259-383); the
     substep loop is a lax.scan compiled into the single fused program.
+
+    `rpm_override` (N, 4), when given, bypasses the task's action
+    preprocessing and applies the raw clipped RPMs directly — the
+    reference's GUI-slider input path (`USE_GUI_RPM`, BaseAviary.py:324-341
+    skips `_preprocessAction` and tiles the slider values).
     """
-    action = jnp.asarray(action, state.pos.dtype)  # guard dtype promotion
-    rpm, state = task.preprocess_action(cfg, state, action)
+    if rpm_override is not None:
+        rpm = jnp.asarray(rpm_override, state.pos.dtype)
+    else:
+        action = jnp.asarray(action, state.pos.dtype)  # guard dtype promotion
+        rpm, state = task.preprocess_action(cfg, state, action)
 
     # Substep loop: statically unrolled for small repeat counts so XLA fuses
     # the whole control step into one kernel region (a lax.scan lowers to an

@@ -97,7 +97,11 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
             pos=r2(s.pos), quat=r2(s.quat), vel=r2(s.vel),
             rpy_rates=r2(s.rpy_rates), ang_v=r2(s.ang_v),
             last_rpm=r2(s.last_rpm),
-            action_buffer=s.action_buffer.reshape(-1, buf_len * act_dim),
+            # explicit leading product: a -1 reshape is ill-posed when the
+            # task has no action buffer (buf_len * act_dim == 0)
+            action_buffer=s.action_buffer.reshape(
+                s.action_buffer.shape[0] * s.action_buffer.shape[1],
+                buf_len * act_dim),
             ctrl_state=jax.tree.map(r2, s.ctrl_state))
 
     def _unflatten(s: core.EnvState) -> core.EnvState:
@@ -109,7 +113,7 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
             rpy_rates=r3(s.rpy_rates), ang_v=r3(s.ang_v),
             last_rpm=r3(s.last_rpm),
             action_buffer=s.action_buffer.reshape(
-                -1, n, buf_len, act_dim),
+                s.action_buffer.shape[0] // n, n, buf_len, act_dim),
             ctrl_state=jax.tree.map(r3, s.ctrl_state))
 
     def _unflatten_view(s: core.EnvState) -> core.EnvState:

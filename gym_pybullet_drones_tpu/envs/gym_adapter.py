@@ -30,7 +30,7 @@ class FunctionalAviary(gym.Env):
 
     def __init__(self, cfg: core.AviaryConfig, task, dtype=jnp.float32,
                  record: bool = False, output_folder: str = "results",
-                 gui: bool = False):
+                 gui: bool = False, user_debug_gui: bool = True):
         self.cfg = cfg
         self.task = task
         self.dtype = dtype
@@ -40,6 +40,15 @@ class FunctionalAviary(gym.Env):
         # viewer.save() (utils/viewer.py).
         self.GUI = gui
         self._viewer = None
+        # User-debug surface (reference :162-167,318-341,497-499): RPM
+        # sliders + "Use GUI RPM" input switch + local-axes overlays; when
+        # toggled on, slider RPMs are tiled over all drones and the task's
+        # action preprocessing is bypassed, exactly like the reference's
+        # USE_GUI_RPM branch skipping _preprocessAction.
+        self.USER_DEBUG = user_debug_gui
+        self.USE_GUI_RPM = False
+        self.last_input_switch = 0
+        self.gui_input = np.zeros(4)
         # Frame recording (reference BaseAviary DIRECT-mode PNG capture,
         # :174-192,292-317): ray-traced third-person frames at 24 fps.
         self.RECORD = record
@@ -52,6 +61,8 @@ class FunctionalAviary(gym.Env):
             lambda: core.reset(cfg, task, dtype=dtype))
         self._step = jax.jit(
             lambda s, a: core.step(cfg, task, s, a))
+        self._step_rpm = jax.jit(
+            lambda s, r: core.step(cfg, task, s, None, rpm_override=r))
         self.state: core.EnvState | None = None
         self._reset_time = time.time()
         self.action_space = self._action_space()
@@ -119,7 +130,6 @@ class FunctionalAviary(gym.Env):
         return np.asarray(obs), info
 
     def step(self, action):
-        action = jnp.asarray(action, self.dtype)
         if self.state is None:
             # The reference engine is steppable straight after construction
             # (BaseAviary.__init__ runs _housekeeping, :211-214; e.g.
@@ -128,15 +138,31 @@ class FunctionalAviary(gym.Env):
         if self.RECORD and \
                 int(self.state.step_counter) % self.CAPTURE_FREQ == 0:
             self._capture_frame()
-        self.state, obs, reward, term, trunc, info = self._step(
-            self.state, action)
+        # GUI input-switch polling + slider override (reference :318-341):
+        # each press of "Use GUI RPM" toggles USE_GUI_RPM; while on, the
+        # four slider RPMs are tiled over all drones and applied raw
+        if self.GUI and self.USER_DEBUG:
+            viewer = self._ensure_viewer()
+            cur = viewer.input_switch_count
+            if cur > self.last_input_switch:
+                self.last_input_switch = cur
+                self.USE_GUI_RPM = not self.USE_GUI_RPM
+                viewer.show_gui_rpm_text(self.USE_GUI_RPM)
+        if self.USE_GUI_RPM:
+            self.gui_input = self._viewer.slider_values()
+            rpm = np.tile(self.gui_input, (self.NUM_DRONES, 1))
+            self.state, obs, reward, term, trunc, info = self._step_rpm(
+                self.state, jnp.asarray(rpm, self.dtype))
+        else:
+            action = jnp.asarray(action, self.dtype)
+            self.state, obs, reward, term, trunc, info = self._step(
+                self.state, action)
         if self.GUI:
             self._update_viewer()
         return (np.asarray(obs), float(reward), bool(term), bool(trunc),
                 info)
 
-    def _update_viewer(self):
-        from gym_pybullet_drones_tpu.ops import quat as quat_ops
+    def _ensure_viewer(self):
         if self._viewer is None:
             from gym_pybullet_drones_tpu.utils.viewer import FlightViewer
             targets = getattr(self.task, "target_pos", None)
@@ -145,7 +171,14 @@ class FunctionalAviary(gym.Env):
             self._viewer = FlightViewer(
                 self.cfg.num_drones, arm=self.cfg.drone.l,
                 obstacles=self.cfg.obstacles, targets=targets,
-                fps=min(30.0, self.cfg.ctrl_freq))
+                fps=min(30.0, self.cfg.ctrl_freq),
+                user_debug=self.USER_DEBUG,
+                max_rpm=self.MAX_RPM, hover_rpm=self.HOVER_RPM)
+        return self._viewer
+
+    def _update_viewer(self):
+        from gym_pybullet_drones_tpu.ops import quat as quat_ops
+        self._ensure_viewer()
         rpy = quat_ops.quat_to_rpy(self.state.quat)
         self._viewer.update(np.asarray(self.state.pos), np.asarray(rpy))
 
@@ -300,7 +333,8 @@ class CtrlAviary(FunctionalAviary):
                         initial_xyzs, initial_rpys, physics, pyb_freq,
                         ctrl_freq, obstacles=obstacles)
         super().__init__(cfg, tasks.CtrlTask(), record=record,
-                         output_folder=output_folder, gui=gui)
+                         output_folder=output_folder, gui=gui,
+                         user_debug_gui=user_debug_gui)
 
 
 class VelocityAviary(FunctionalAviary):
@@ -315,7 +349,8 @@ class VelocityAviary(FunctionalAviary):
                         initial_xyzs, initial_rpys, physics, pyb_freq,
                         ctrl_freq, obstacles=obstacles)
         super().__init__(cfg, tasks.VelocityTask(), record=record,
-                         output_folder=output_folder, gui=gui)
+                         output_folder=output_folder, gui=gui,
+                         user_debug_gui=user_debug_gui)
 
 
 class HoverAviary(FunctionalAviary):

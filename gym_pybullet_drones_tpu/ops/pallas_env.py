@@ -395,39 +395,93 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
         d["q"][3] = jnp.where(keep, qw, nqw)
 
     # ---- pairwise drone-drone contact (rigid_body.resolve_drone_collisions):
-    # Jacobi velocity impulses with Baumgarte separation on post-step poses
+    # cylinder-manifold contact with full angular response on post-step
+    # poses — contact point is the midpoint of the two cylinder-clamped
+    # closest points toward the pair midpoint; normal impulse (Baumgarte /
+    # speculative target) + Coulomb friction, both with lever-arm torque
     if n > 1:
         min_d = 2.0 * params.collision_r
-        snap = [([row for row in d["p"]], [row for row in d["v"]])
-                for d in drones]
+        post_rots = [_rot_rows(*d["q"]) for d in drones]
+        snap = [([row for row in d["p"]], [row for row in d["v"]],
+                 [row for row in d["w"]]) for d in drones]
+
+        def _cyl_clamp(p_, r_, mx, my, mz):
+            # world point clamped into this body's collision cylinder
+            u = _mtv(r_, (mx - p_[0], my - p_[1], mz - p_[2]))
+            ur = jnp.sqrt(u[0] * u[0] + u[1] * u[1])
+            s = jnp.minimum(1.0, rc / jnp.maximum(ur, 1e-9))
+            wq = _mv(r_, (u[0] * s, u[1] * s,
+                          jnp.clip(u[2], zoff - h2, zoff + h2)))
+            return (p_[0] + wq[0], p_[1] + wq[1], p_[2] + wq[2])
+
         for i in range(n):
+            pi, vi, wi = snap[i]
+            ri_ = post_rots[i]
             dvx = dvy = dvz = None
-            pi, vi = snap[i]
+            dwx = dwy = dwz = None
             for j in range(n):
                 if i == j:
                     continue
-                pj, vj = snap[j]
+                pj, vj, wj = snap[j]
+                rj_ = post_rots[j]
                 dx, dy, dz = pi[0] - pj[0], pi[1] - pj[1], pi[2] - pj[2]
                 dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
                 depth = min_d - dist
-                hit = (depth > -CONTACT_SLOP) & (dist > 1e-6)
+                hitm = jnp.where((depth > -CONTACT_SLOP) & (dist > 1e-6),
+                                 1.0, 0.0)
                 inv_d = 1.0 / jnp.maximum(dist, 1e-6)
-                nx, ny, nz = dx * inv_d, dy * inv_d, dz * inv_d
-                vn = ((vi[0] - vj[0]) * nx + (vi[1] - vj[1]) * ny
-                      + (vi[2] - vj[2]) * nz)
+                nv = (dx * inv_d, dy * inv_d, dz * inv_d)
+                mx = 0.5 * (pi[0] + pj[0])
+                my = 0.5 * (pi[1] + pj[1])
+                mz = 0.5 * (pi[2] + pj[2])
+                si = _cyl_clamp(pi, ri_, mx, my, mz)
+                sj = _cyl_clamp(pj, rj_, mx, my, mz)
+                r_i = (0.5 * (si[0] + sj[0]) - pi[0],
+                       0.5 * (si[1] + sj[1]) - pi[1],
+                       0.5 * (si[2] + sj[2]) - pi[2])
+                r_j = (0.5 * (si[0] + sj[0]) - pj[0],
+                       0.5 * (si[1] + sj[1]) - pj[1],
+                       0.5 * (si[2] + sj[2]) - pj[2])
+                wxr_i = _cr((wi[0], wi[1], wi[2]), r_i)
+                wxr_j = _cr((wj[0], wj[1], wj[2]), r_j)
+                rel = (vi[0] + wxr_i[0] - vj[0] - wxr_j[0],
+                       vi[1] + wxr_i[1] - vj[1] - wxr_j[1],
+                       vi[2] + wxr_i[2] - vj[2] - wxr_j[2])
+                vn = _dot3(rel, nv)
                 tgt = jnp.where(depth > 0, beta * depth, inv_dt * depth)
-                dv = jnp.where(hit,
-                               0.5 * jnp.maximum(tgt - vn, 0.0),
-                               0.0)
+
+                def keff(dvec):
+                    t_i = _dot3(_cr(_iinv_w(ri_, j_inv, _cr(r_i, dvec)),
+                                    r_i), dvec)
+                    t_j = _dot3(_cr(_iinv_w(rj_, j_inv, _cr(r_j, dvec)),
+                                    r_j), dvec)
+                    return 2.0 * inv_m + t_i + t_j
+
+                j_n = jnp.maximum(tgt - vn, 0.0) / keff(nv) * hitm
+                vtv = (rel[0] - vn * nv[0], rel[1] - vn * nv[1],
+                       rel[2] - vn * nv[2])
+                vt_n = jnp.sqrt(_dot3(vtv, vtv))
+                inv_vt = 1.0 / jnp.maximum(vt_n, 1e-9)
+                tv = (vtv[0] * inv_vt, vtv[1] * inv_vt, vtv[2] * inv_vt)
+                j_t = jnp.minimum(vt_n / keff(tv), mu * j_n) * hitm
+                imp = (j_n * nv[0] - j_t * tv[0],
+                       j_n * nv[1] - j_t * tv[1],
+                       j_n * nv[2] - j_t * tv[2])
+                dwv = _iinv_w(ri_, j_inv, _cr(r_i, imp))
                 if dvx is None:
-                    dvx, dvy, dvz = dv * nx, dv * ny, dv * nz
+                    dvx, dvy, dvz = imp[0], imp[1], imp[2]
+                    dwx, dwy, dwz = dwv[0], dwv[1], dwv[2]
                 else:
-                    dvx, dvy, dvz = (dvx + dv * nx, dvy + dv * ny,
-                                     dvz + dv * nz)
+                    dvx, dvy, dvz = dvx + imp[0], dvy + imp[1], dvz + imp[2]
+                    dwx, dwy, dwz = dwx + dwv[0], dwy + dwv[1], dwz + dwv[2]
             vi_live = drones[i]["v"]
-            vi_live[0] = vi_live[0] + dvx
-            vi_live[1] = vi_live[1] + dvy
-            vi_live[2] = vi_live[2] + dvz
+            vi_live[0] = vi_live[0] + inv_m * dvx
+            vi_live[1] = vi_live[1] + inv_m * dvy
+            vi_live[2] = vi_live[2] + inv_m * dvz
+            wi_live = drones[i]["w"]
+            wi_live[0] = wi_live[0] + dwx
+            wi_live[1] = wi_live[1] + dwy
+            wi_live[2] = wi_live[2] + dwz
 
 
 def _kernel(pid_params, dyn_params: DroneParams, physics: Physics,

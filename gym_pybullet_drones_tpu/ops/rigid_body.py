@@ -371,24 +371,49 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
 
 
 def resolve_drone_collisions(params: DroneParams, pos: jnp.ndarray,
-                             vel: jnp.ndarray, dt: float | None = None):
-    """Pairwise drone-drone contact within one env (bounding spheres).
+                             vel: jnp.ndarray, dt: float | None = None,
+                             quat: jnp.ndarray | None = None,
+                             ang_v: jnp.ndarray | None = None):
+    """Pairwise drone-drone contact within one env.
 
     TPU-native counterpart of Bullet's multibody contact between drone
     collision shapes (the reference loads every drone into one PyBullet
     world, BaseAviary.py:484-491, so bodies collide in all PYB* modes).
-    Each penetrating pair (center distance < 2 * collision_r) gets an
-    impulse-based inelastic normal response with Baumgarte separation
-    (ERP = 0.2, restitution 0, matching the URDF defaults) split evenly
-    between the two equal-mass bodies; the center-line contact carries no
-    angular term.  pos/vel are (..., N, 3); O(N^2) masked pairwise,
-    vectorized over leading batch dims.  `dt` enables the Baumgarte push
-    (legacy callers that omit it get the pure inelastic response).
+
+    With ``quat``/``ang_v`` provided (the production path), each pair whose
+    center distance is inside the sphere-swept window (< 2 * collision_r +
+    slop) is resolved as a **cylinder-manifold contact with full angular
+    response**, following Bullet's convex pair contact:
+
+    - the contact point is the midpoint of the two bodies' cylinder-clamped
+      closest points toward the pair midpoint (each body clamps the midpoint
+      into its own collision cylinder: radial part to ``collision_r``, axial
+      part to ``collision_z_offset +- collision_h/2`` in body frame), so
+      tilted or height-offset drones contact off their center line and the
+      normal impulse exerts torque — a glancing collision *tumbles* instead
+      of translating;
+    - the normal is the center line (j -> i) with the same speculative
+      Baumgarte target as the ground solve (ERP = 0.2, restitution 0);
+    - a single Coulomb friction impulse opposes the tangential relative
+      velocity at the contact point, clamped to ``mu * j_n``
+      (GROUND_FRICTION, PyBullet's URDF default lateral friction), and its
+      lever arm spins both bodies;
+    - impulses use the full two-body effective mass
+      ``k = 2/m + n . ((I_i^-1 (r_i x n)) x r_i + (I_j^-1 (r_j x n)) x r_j)``
+      (equal masses; one Jacobi pass over ordered pairs — antisymmetric by
+      construction, so linear and angular momentum about the contact point
+      are conserved up to the Baumgarte bias).
+
+    Returns ``(pos, vel, ang_v)``.  Without ``quat`` the legacy
+    bounding-sphere centered response is used (no angular term; returns
+    ``(pos, vel)``) — kept for callers that carry no orientation state.
+    pos/vel/ang_v are (..., N, 3), quat (..., N, 4); O(N^2) masked
+    pairwise, vectorized over leading batch dims.
     """
     dtype = pos.dtype
     n = pos.shape[-2]
     if n < 2:
-        return pos, vel
+        return (pos, vel) if quat is None else (pos, vel, ang_v)
     min_d = 2.0 * params.collision_r
     beta = 0.0 if dt is None else CONTACT_ERP / dt
     inv_dt = 0.0 if dt is None else 1.0 / dt
@@ -396,17 +421,81 @@ def resolve_drone_collisions(params: DroneParams, pos: jnp.ndarray,
     dist = jnp.linalg.norm(diff, axis=-1)                  # (..., N, N)
     eye = jnp.eye(n, dtype=bool)
     depth = min_d - dist                                   # + = penetrating
-    hit = (depth > -CONTACT_SLOP) & ~eye
+    hit = (depth > -CONTACT_SLOP) & ~eye & (dist > 1e-6)
     n_hat = diff / jnp.maximum(dist, 1e-6)[..., None]
-    # impulse-based normal response with the speculative target: Baumgarte
-    # push-out when penetrating, closing-velocity limit when separated
-    # within the slop window (split between the two equal-mass bodies)
     rel_v = vel[..., :, None, :] - vel[..., None, :, :]
-    vn = jnp.sum(rel_v * n_hat, axis=-1)                   # (..., N, N)
     target = jnp.where(depth > 0, beta * depth, inv_dt * depth)
-    dv_pair = jnp.maximum(target - vn, 0.0)                # only push apart
-    dv = jnp.sum(
-        jnp.where(hit[..., None], 0.5 * dv_pair[..., None] * n_hat, 0.0),
-        axis=-2)
-    vel = vel + dv
-    return pos, vel
+
+    if quat is None:
+        # legacy centered response: normal impulse split between the two
+        # equal-mass bodies, no angular coupling
+        vn = jnp.sum(rel_v * n_hat, axis=-1)               # (..., N, N)
+        dv_pair = jnp.maximum(target - vn, 0.0)            # only push apart
+        dv = jnp.sum(
+            jnp.where(hit[..., None], 0.5 * dv_pair[..., None] * n_hat, 0.0),
+            axis=-2)
+        return pos, vel + dv
+
+    rot = quat_ops.quat_to_mat(quat)                       # (..., N, 3, 3)
+    inv_m = 1.0 / params.m
+    j_inv_diag = jnp.asarray(
+        [1.0 / params.ixx, 1.0 / params.iyy, 1.0 / params.izz], dtype)
+    i_inv = jnp.einsum("...ik,k,...jk->...ij", rot, j_inv_diag, rot)
+
+    # contact point: midpoint of the two cylinder-clamped closest points
+    rc, h2 = params.collision_r, params.collision_h / 2
+    zoff = params.collision_z_offset
+    mid = 0.5 * (pos[..., :, None, :] + pos[..., None, :, :])  # (..N,N,3)
+
+    def surf_point(body_axis):
+        # clamp `mid` into the cylinder of the body indexed on `body_axis`
+        if body_axis == 0:        # body i: rows
+            c = pos[..., :, None, :]
+            r_mat = rot[..., :, None, :, :]
+        else:                     # body j: cols
+            c = pos[..., None, :, :]
+            r_mat = rot[..., None, :, :, :]
+        u = jnp.einsum("...ba,...b->...a", r_mat, mid - c)     # R^T (mid-c)
+        ur = jnp.sqrt(u[..., 0] ** 2 + u[..., 1] ** 2)
+        s = jnp.minimum(1.0, rc / jnp.maximum(ur, 1e-9))
+        q = jnp.stack([u[..., 0] * s, u[..., 1] * s,
+                       jnp.clip(u[..., 2], zoff - h2, zoff + h2)], axis=-1)
+        return c + jnp.einsum("...ab,...b->...a", r_mat, q)
+    pc = 0.5 * (surf_point(0) + surf_point(1))             # (..., N, N, 3)
+    r_i = pc - pos[..., :, None, :]
+    r_j = pc - pos[..., None, :, :]
+
+    w_i = ang_v[..., :, None, :]
+    w_j = ang_v[..., None, :, :]
+    i_inv_i = i_inv[..., :, None, :, :]
+    i_inv_j = i_inv[..., None, :, :, :]
+    rel_c = (rel_v + jnp.cross(w_i, r_i, axis=-1)
+             - jnp.cross(w_j, r_j, axis=-1))               # at contact point
+
+    def keff(d_vec):
+        rxd_i = jnp.cross(r_i, d_vec, axis=-1)
+        rxd_j = jnp.cross(r_j, d_vec, axis=-1)
+        term_i = jnp.sum(jnp.cross(
+            jnp.einsum("...ab,...b->...a", i_inv_i, rxd_i), r_i,
+            axis=-1) * d_vec, axis=-1)
+        term_j = jnp.sum(jnp.cross(
+            jnp.einsum("...ab,...b->...a", i_inv_j, rxd_j), r_j,
+            axis=-1) * d_vec, axis=-1)
+        return 2.0 * inv_m + term_i + term_j
+
+    vn = jnp.sum(rel_c * n_hat, axis=-1)                   # (..., N, N)
+    j_n = jnp.maximum(target - vn, 0.0) / keff(n_hat)
+    j_n = jnp.where(hit, j_n, 0.0)
+
+    # Coulomb friction along the tangential relative velocity
+    vt = rel_c - vn[..., None] * n_hat
+    vt_norm = jnp.linalg.norm(vt, axis=-1)
+    t_hat = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
+    j_t = jnp.minimum(vt_norm / keff(t_hat), GROUND_FRICTION * j_n)
+    j_t = jnp.where(hit, j_t, 0.0)
+
+    imp = j_n[..., None] * n_hat - j_t[..., None] * t_hat  # on body i
+    dv = jnp.sum(imp, axis=-2) * inv_m
+    dw = jnp.sum(jnp.einsum("...ab,...b->...a", i_inv_i,
+                            jnp.cross(r_i, imp, axis=-1)), axis=-2)
+    return pos, vel + dv, ang_v + dw

@@ -63,11 +63,24 @@ class FlightViewer:
     show : bool or None
         Force live drawing on/off; None = auto-detect an interactive
         matplotlib backend.
+    user_debug : bool
+        Add the reference's user-debug GUI surface (BaseAviary.py:162-167,
+        497-499): four "Propeller i RPM" sliders in [0, max_rpm]
+        initialized at hover_rpm, a "Use GUI RPM" input-switch button whose
+        press count the env polls to toggle slider-driven flight, and RGB
+        local-axes overlays of length 2*arm on every drone
+        (_showDroneLocalAxes, :915-951).  The widgets are real matplotlib
+        widgets in live mode and remain fully driveable programmatically
+        (``set_slider`` / ``press_input_switch``) on headless backends.
+    max_rpm, hover_rpm : float
+        Slider range/initial value (only used with ``user_debug``).
     """
 
     def __init__(self, num_drones: int, arm: float = 0.0397,
                  obstacles: tuple = (), targets=None, fps: float = 30.0,
-                 trail: int = 300, bounds: float = 2.0, show=None):
+                 trail: int = 300, bounds: float = 2.0, show=None,
+                 user_debug: bool = False, max_rpm: float = 30000.0,
+                 hover_rpm: float = 15000.0):
         import matplotlib
         if show is None:
             backend = matplotlib.get_backend().lower()
@@ -104,9 +117,67 @@ class FlightViewer:
                                c=self._colors[i])
             self._arm_lines.append((a1, a2))
             self._trail_lines.append(tr)
+
+        # -- user-debug surface (reference BaseAviary.py:162-167,497-499) --
+        self.user_debug = user_debug
+        self._sliders = []
+        self._input_switch_count = 0
+        self._axes_lines = []
+        self._gui_rpm_text = None
+        if user_debug:
+            from matplotlib.widgets import Slider, Button
+            # make room for the widget column under the 3D axes
+            self.fig.subplots_adjust(bottom=0.28)
+            for i in range(4):
+                sax = self.fig.add_axes([0.25, 0.20 - 0.045 * i, 0.55, 0.03])
+                self._sliders.append(Slider(
+                    sax, f"Propeller {i} RPM", 0.0, max_rpm,
+                    valinit=hover_rpm))
+            bax = self.fig.add_axes([0.25, 0.005, 0.25, 0.035])
+            self._switch_btn = Button(bax, "Use GUI RPM")
+            self._switch_btn.on_clicked(
+                lambda _ev: self.press_input_switch())
+            # RGB local-axes overlays, one triple per drone
+            # (_showDroneLocalAxes: X red, Y green, Z blue, length 2*L)
+            for _ in range(num_drones):
+                lx, = self.ax.plot([], [], [], "-", lw=1, c="red")
+                ly, = self.ax.plot([], [], [], "-", lw=1, c="green")
+                lz, = self.ax.plot([], [], [], "-", lw=1, c="blue")
+                self._axes_lines.append((lx, ly, lz))
         if self.show:
             plt.ion()
             self.fig.show()
+
+    # -- user-debug parameter surface ------------------------------------
+    def slider_values(self) -> np.ndarray:
+        """Current values of the 4 RPM sliders (readUserDebugParameter)."""
+        return np.array([s.val for s in self._sliders], np.float64)
+
+    def set_slider(self, i: int, value: float):
+        """Programmatically move slider i (headless counterpart of a drag)."""
+        self._sliders[i].set_val(value)
+
+    def press_input_switch(self):
+        """Register one press of the "Use GUI RPM" button.
+
+        The reference's switch is an addUserDebugParameter button whose
+        read value counts presses (BaseAviary.py:167,319-323); the env
+        polls `input_switch_count` and toggles USE_GUI_RPM on increments.
+        """
+        self._input_switch_count += 1
+
+    @property
+    def input_switch_count(self) -> int:
+        return self._input_switch_count
+
+    def show_gui_rpm_text(self, on: bool):
+        """Red "Using GUI RPM" overlay (reference addUserDebugText, :329)."""
+        if on and self._gui_rpm_text is None:
+            self._gui_rpm_text = self.fig.text(
+                0.02, 0.95, "Using GUI RPM", color="red", fontsize=12)
+        elif not on and self._gui_rpm_text is not None:
+            self._gui_rpm_text.remove()
+            self._gui_rpm_text = None
 
     # -- static scene ----------------------------------------------------
     def _draw_static(self, obstacles, targets):
@@ -168,6 +239,13 @@ class FlightViewer:
             tr = np.asarray(self._trails[i])
             self._trail_lines[i].set_data(tr[:, 0], tr[:, 1])
             self._trail_lines[i].set_3d_properties(tr[:, 2])
+            if self._axes_lines:
+                # body local axes, length 2*L (reference _showDroneLocalAxes)
+                for k, line in enumerate(self._axes_lines[i]):
+                    tip = pos[i] + rot[i, :, k] * (2.0 * self.arm)
+                    seg = np.stack([pos[i], tip])
+                    line.set_data(seg[:, 0], seg[:, 1])
+                    line.set_3d_properties(seg[:, 2])
         if self.show:
             self.fig.canvas.draw_idle()
             self.fig.canvas.flush_events()

@@ -24,6 +24,24 @@ for ((i=0; i<NUM; i++)); do
   fi
   make TARGET=SITL
   popd >/dev/null
+
+  # Generate eeprom.bin from the shipped CLI config (the reference ships a
+  # pre-baked binary flash image, assets/eeprom.bin; we derive it from the
+  # readable assets/sitl-config.txt instead): boot the SITL once, pipe the
+  # config into its CLI console (TCP 5761), `save` reboots it and writes
+  # eeprom.bin into the working directory.
+  CFG="$(dirname "$0")/../gym_pybullet_drones_tpu/assets/sitl-config.txt"
+  if [ -f "$CFG" ] && [ ! -f "$DIR/eeprom.bin" ]; then
+    pushd "$DIR" >/dev/null
+    ./obj/main/betaflight_SITL.elf &
+    SITL_PID=$!
+    sleep 2
+    { printf '#\n'; cat "$CFG"; sleep 1; } | nc 127.0.0.1 5761 || true
+    sleep 2
+    kill "$SITL_PID" 2>/dev/null || true
+    popd >/dev/null
+    [ -f "$DIR/eeprom.bin" ] && echo "eeprom.bin written for bf$i"
+  fi
 done
 echo "SITL binaries under $DEST/bf*/obj/main/betaflight_SITL.elf"
 echo "Run BetaAviary(spawn_sitl=True, sitl_path='$DEST') or start them manually."

@@ -646,33 +646,77 @@ def stepSimulation(physicsClientId=0):
         b.rot = _integrate_rotation(b.rot, b.ang_vel, dt)
         b.force_acc[:] = 0.0
         b.torque_acc[:] = 0.0
-    # drone-drone sphere contact: Jacobi impulse pass on the post-step
-    # poses (mirror of ops/rigid_body.resolve_drone_collisions — velocity
-    # impulses with Baumgarte separation, no positional projection)
+    # drone-drone cylinder-manifold contact: Jacobi impulse pass on the
+    # post-step poses (mirror of ops/rigid_body.resolve_drone_collisions —
+    # contact point = midpoint of the two bodies' cylinder-clamped closest
+    # points toward the pair midpoint, normal on the center line with
+    # Baumgarte separation, Coulomb friction, full angular response)
     if len(dynamic) > 1:
         beta = _CONTACT_ERP / dt
-        snapshot = [(b.pos.copy(), b.lin_vel.copy()) for b in dynamic]
+        inv_dt = 1.0 / dt
+        snapshot = [(b.pos.copy(), b.rot.copy(), b.lin_vel.copy(),
+                     b.ang_vel.copy()) for b in dynamic]
+
+        def _cyl_clamp(idx, point):
+            """Clamp `point` into body idx's collision cylinder (world)."""
+            pos, rot = snapshot[idx][0], snapshot[idx][1]
+            shp = dynamic[idx].shape
+            if shp and shp[0] == "cylinder":
+                rc, h2, zoff = shp[1], shp[2] / 2.0, shp[3]
+            else:
+                rc, h2, zoff = (shp[1] if shp else 0.06), 0.0, 0.0
+            u = rot.T @ (point - pos)
+            ur = float(np.hypot(u[0], u[1]))
+            s = min(1.0, rc / max(ur, 1e-9))
+            q = np.array([u[0] * s, u[1] * s,
+                          min(max(u[2], zoff - h2), zoff + h2)])
+            return pos + rot @ q
+
         dv = [np.zeros(3) for _ in dynamic]
+        dw = [np.zeros(3) for _ in dynamic]
         for i in range(len(dynamic)):
+            pi, ri, vi, wi = snapshot[i]
+            inv_m_i = 1.0 / dynamic[i].mass
+            i_inv_i = ri @ np.diag(1.0 / dynamic[i].inertia_diag) @ ri.T
             for j in range(len(dynamic)):
                 if i == j:
                     continue
-                pi, vi = snapshot[i]
-                pj, vj = snapshot[j]
+                pj, rj, vj, wj = snapshot[j]
                 ra = dynamic[i].shape[1] if dynamic[i].shape else 0.06
                 rb = dynamic[j].shape[1] if dynamic[j].shape else 0.06
-                min_d = ra + rb
                 diff = pi - pj
                 dist = float(np.linalg.norm(diff))
-                depth = min_d - dist
-                if dist > 1e-6 and depth > -_CONTACT_SLOP:
-                    n = diff / dist
-                    vn = float((vi - vj) @ n)
-                    target = (beta * depth if depth > 0.0
-                              else depth / c.dt)
-                    dv[i] += 0.5 * max(target - vn, 0.0) * n
-        for b, d in zip(dynamic, dv):
+                depth = (ra + rb) - dist
+                if dist <= 1e-6 or depth <= -_CONTACT_SLOP:
+                    continue
+                n = diff / dist
+                mid = 0.5 * (pi + pj)
+                pc = 0.5 * (_cyl_clamp(i, mid) + _cyl_clamp(j, mid))
+                r_i, r_j = pc - pi, pc - pj
+                inv_m_j = 1.0 / dynamic[j].mass
+                i_inv_j = rj @ np.diag(1.0 / dynamic[j].inertia_diag) @ rj.T
+                rel = (vi + np.cross(wi, r_i)) - (vj + np.cross(wj, r_j))
+                vn = float(rel @ n)
+                target = beta * depth if depth > 0.0 else inv_dt * depth
+
+                def keff(d_vec):
+                    return (inv_m_i + inv_m_j
+                            + float(np.cross(i_inv_i @ np.cross(r_i, d_vec),
+                                             r_i) @ d_vec)
+                            + float(np.cross(i_inv_j @ np.cross(r_j, d_vec),
+                                             r_j) @ d_vec))
+
+                j_n = max(target - vn, 0.0) / keff(n)
+                vt = rel - vn * n
+                vt_norm = float(np.linalg.norm(vt))
+                t_hat = vt / max(vt_norm, 1e-9)
+                j_t = min(vt_norm / keff(t_hat), _GROUND_FRICTION * j_n)
+                imp = j_n * n - j_t * t_hat
+                dv[i] += inv_m_i * imp
+                dw[i] += i_inv_i @ np.cross(r_i, imp)
+        for b, d, w_ in zip(dynamic, dv, dw):
             b.lin_vel = b.lin_vel + d
+            b.ang_vel = b.ang_vel + w_
 
 
 # ---------------------------------------------------------------------------

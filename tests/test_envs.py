@@ -231,6 +231,46 @@ def test_pyb_drone_drone_collision():
     assert float(st.pos[0, 1]) < float(st.pos[1, 1])
 
 
+def test_pyb_drone_drone_collision_tumbles():
+    """A glancing drone-drone collision spins both bodies (angular response).
+
+    Bullet's convex pair contact exerts torque through the contact lever
+    arm; the old bounding-sphere center-line model translated only.  Two
+    drones pass with a small height offset: the cylinder-manifold contact
+    must leave both with angular velocity, while conserving linear and
+    angular momentum (Jacobi pair impulses are antisymmetric).
+    """
+    from gym_pybullet_drones_tpu.ops.rigid_body import (
+        resolve_drone_collisions)
+    d = P.CF2X
+    dt = 1.0 / 240.0
+    pos = jnp.array([[0.0, -0.05, 0.5], [0.0, 0.05, 0.52]])
+    vel = jnp.array([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]])
+    quat = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (2, 1))
+    ang_v = jnp.zeros((2, 3))
+    _, v2, w2 = resolve_drone_collisions(d, pos, vel, dt, quat=quat,
+                                         ang_v=ang_v)
+    # tumble: nonzero spin about x on both bodies
+    assert abs(float(w2[0, 0])) > 0.5
+    assert abs(float(w2[1, 0])) > 0.5
+    # linear momentum conserved exactly (equal masses)
+    np.testing.assert_allclose(np.asarray(v2.sum(0)), 0.0, atol=1e-6)
+    # angular momentum about the pair midpoint conserved
+    mid = 0.5 * (pos[0] + pos[1])
+    J = np.diag([d.ixx, d.iyy, d.izz])
+    L0 = sum(np.cross(np.asarray(pos[i] - mid), d.m * np.asarray(vel[i]))
+             for i in range(2))
+    L1 = sum(np.cross(np.asarray(pos[i] - mid), d.m * np.asarray(v2[i]))
+             + J @ np.asarray(w2[i]) for i in range(2))
+    np.testing.assert_allclose(L1, L0, atol=1e-7)
+    # level same-height head-on: symmetric, no spin (friction vt = 0,
+    # lever arm parallel to the normal)
+    pos_l = jnp.array([[0.0, -0.05, 0.5], [0.0, 0.05, 0.5]])
+    _, v3, w3 = resolve_drone_collisions(d, pos_l, vel, dt, quat=quat,
+                                         ang_v=ang_v)
+    np.testing.assert_allclose(np.asarray(w3), 0.0, atol=1e-9)
+
+
 def test_randomized_resets_decorrelate_envs():
     """RLTask reset noise gives distinct per-env starts; default is exact."""
     import dataclasses

@@ -32,6 +32,43 @@ def test_gui_env_step_headless():
     env.close()
 
 
+def test_user_debug_gui_rpm_override():
+    """Slider-driven flight parity (reference BaseAviary.py:162-167,318-341):
+    pressing "Use GUI RPM" toggles USE_GUI_RPM; while on, the four slider
+    RPMs override the action (preprocessing bypassed), tiled over drones;
+    pressing again hands control back."""
+    import numpy as np
+    from gym_pybullet_drones_tpu.envs.gym_adapter import CtrlAviary
+
+    env = CtrlAviary(num_drones=2, gui=True, user_debug_gui=True,
+                     pyb_freq=240, ctrl_freq=48)
+    env.reset()
+    env.step(np.zeros((2, 4)))
+    v = env._viewer
+    assert v.user_debug and len(v._sliders) == 4
+    # sliders initialize at HOVER_RPM (reference addUserDebugParameter init)
+    np.testing.assert_allclose(v.slider_values(), env.HOVER_RPM, rtol=1e-6)
+    # local-axes overlays exist per drone (reference _showDroneLocalAxes)
+    assert len(v._axes_lines) == env.NUM_DRONES
+
+    v.press_input_switch()
+    for i in range(4):
+        v.set_slider(i, 1.05 * env.HOVER_RPM)
+    for _ in range(48):
+        obs, *_ = env.step(np.zeros((2, 4)))  # zero action ignored
+    assert env.USE_GUI_RPM
+    assert obs[0, 2] > 0.3          # climbed under slider RPM
+    np.testing.assert_allclose(env.gui_input, 1.05 * env.HOVER_RPM,
+                               rtol=1e-6)
+
+    v.press_input_switch()          # toggle back off
+    for _ in range(24):
+        obs, *_ = env.step(np.zeros((2, 4)))
+    assert not env.USE_GUI_RPM
+    assert obs[0, 2] < 0.1          # zero-RPM action in effect again
+    env.close()
+
+
 def test_mjpeg_avi_writer(tmp_path):
     """Pure-Python MJPEG AVI assembly: valid RIFF structure, all frames."""
     import struct
