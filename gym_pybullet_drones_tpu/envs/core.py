@@ -85,6 +85,13 @@ class AviaryConfig:
     # modes (the reference's obstacle bodies, BaseAviary:955-978, approximated
     # by their bounding primitives)
     obstacles: tuple = ()
+    # PGS contact-solver sweep count (PYB-family modes).  4 (default) is
+    # converged for single-island contacts and matches the fused Pallas
+    # kernels; PyBullet's numSolverIterations default is 50 — set 50 for a
+    # fully-converged Bullet-default solve on the XLA path (the measured
+    # 4-vs-50 truncation is ~mm-scale over 2 s, see PARITY.md; the fast
+    # path falls back to XLA when this differs from the kernel's 4).
+    solver_iterations: int = 4
 
     def __post_init__(self):
         if self.pyb_freq % self.ctrl_freq != 0:
@@ -208,7 +215,8 @@ def _apply_physics_substep(cfg: AviaryConfig, state: EnvState,
     pyb = PybState(pos=state.pos, quat=state.quat, vel=state.vel,
                    ang_v=state.ang_v)
     out = pyb_step(d, pyb, rpm, dt, ext_force=ext_f, ext_torque=ext_t,
-                   obstacles=cfg.obstacles)
+                   obstacles=cfg.obstacles,
+                   solver_iterations=cfg.solver_iterations)
     pos, vel, ang_v = out.pos, out.vel, out.ang_v
     if cfg.num_drones > 1:
         # Bullet resolves drone-drone contact in all PYB* modes (every

@@ -84,8 +84,12 @@ def make_batched_step(cfg: core.AviaryConfig, task, num_envs: int,
     # drones-in-rows kernel (ops/pallas_env.py).
     pallas_ok = (use_pallas and cfg.physics == Physics.DYN
                  and dtype == jnp.float32)
+    # the PYB-family kernel unrolls exactly SOLVER_ITERATIONS PGS sweeps;
+    # a non-default cfg.solver_iterations runs on the XLA path instead
+    from gym_pybullet_drones_tpu.ops.rigid_body import SOLVER_ITERATIONS
     pallas_env_ok = (use_pallas and cfg.physics != Physics.DYN
-                     and dtype == jnp.float32)
+                     and dtype == jnp.float32
+                     and cfg.solver_iterations == SOLVER_ITERATIONS)
 
     batched_reset = jax.vmap(
         lambda k: core.reset(cfg, task, key=k, dtype=dtype))
@@ -437,6 +441,12 @@ def make_fused_rollout(cfg: core.AviaryConfig, task, num_envs: int,
         raise ValueError(f"fused rollout does not support {task.act} yet")
     if getattr(task, "row_post", None) is None:
         raise ValueError("task has no row_post hook")
+    from gym_pybullet_drones_tpu.ops.rigid_body import SOLVER_ITERATIONS
+    if cfg.physics != Physics.DYN and \
+            cfg.solver_iterations != SOLVER_ITERATIONS:
+        raise ValueError("fused rollout's PYB kernel unrolls exactly "
+                         f"{SOLVER_ITERATIONS} PGS sweeps; use the XLA "
+                         "path for other cfg.solver_iterations")
     if any(getattr(task, f, 0.0) for f in
            ("reset_pos_noise", "reset_rpy_noise", "reset_vel_noise")):
         raise ValueError("fused rollout requires deterministic resets")

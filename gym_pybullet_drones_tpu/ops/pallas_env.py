@@ -414,14 +414,22 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
                           jnp.clip(u[2], zoff - h2, zoff + h2)))
             return (p_[0] + wq[0], p_[1] + wq[1], p_[2] + wq[2])
 
+        # each unordered pair computed ONCE: the ordered-pair quantities are
+        # exactly antisymmetric in IEEE float (diff, rel, vt negate exactly;
+        # dist, vn, keff, j_n, j_t are even in the sign), so applying -imp
+        # to body j is bitwise identical to recomputing the (j, i) pair —
+        # this halves the pair cost that dominates multi-drone PYB kernels
+        acc_v = [[None, None, None] for _ in range(n)]
+        acc_w = [[None, None, None] for _ in range(n)]
+
+        def _acc(slot, vals):
+            for k in range(3):
+                slot[k] = vals[k] if slot[k] is None else slot[k] + vals[k]
+
         for i in range(n):
             pi, vi, wi = snap[i]
             ri_ = post_rots[i]
-            dvx = dvy = dvz = None
-            dwx = dwy = dwz = None
-            for j in range(n):
-                if i == j:
-                    continue
+            for j in range(i + 1, n):
                 pj, vj, wj = snap[j]
                 rj_ = post_rots[j]
                 dx, dy, dz = pi[0] - pj[0], pi[1] - pj[1], pi[2] - pj[2]
@@ -467,21 +475,22 @@ def _pyb_substep_all(params: DroneParams, physics: Physics, dt: float,
                 imp = (j_n * nv[0] - j_t * tv[0],
                        j_n * nv[1] - j_t * tv[1],
                        j_n * nv[2] - j_t * tv[2])
-                dwv = _iinv_w(ri_, j_inv, _cr(r_i, imp))
-                if dvx is None:
-                    dvx, dvy, dvz = imp[0], imp[1], imp[2]
-                    dwx, dwy, dwz = dwv[0], dwv[1], dwv[2]
-                else:
-                    dvx, dvy, dvz = dvx + imp[0], dvy + imp[1], dvz + imp[2]
-                    dwx, dwy, dwz = dwx + dwv[0], dwy + dwv[1], dwz + dwv[2]
+                imp_n = (-imp[0], -imp[1], -imp[2])
+                _acc(acc_v[i], imp)
+                _acc(acc_w[i], _iinv_w(ri_, j_inv, _cr(r_i, imp)))
+                _acc(acc_v[j], imp_n)
+                _acc(acc_w[j], _iinv_w(rj_, j_inv, _cr(r_j, imp_n)))
+        for i in range(n):
+            if acc_v[i][0] is None:
+                continue
             vi_live = drones[i]["v"]
-            vi_live[0] = vi_live[0] + inv_m * dvx
-            vi_live[1] = vi_live[1] + inv_m * dvy
-            vi_live[2] = vi_live[2] + inv_m * dvz
+            vi_live[0] = vi_live[0] + inv_m * acc_v[i][0]
+            vi_live[1] = vi_live[1] + inv_m * acc_v[i][1]
+            vi_live[2] = vi_live[2] + inv_m * acc_v[i][2]
             wi_live = drones[i]["w"]
-            wi_live[0] = wi_live[0] + dwx
-            wi_live[1] = wi_live[1] + dwy
-            wi_live[2] = wi_live[2] + dwz
+            wi_live[0] = wi_live[0] + acc_w[i][0]
+            wi_live[1] = wi_live[1] + acc_w[i][1]
+            wi_live[2] = wi_live[2] + acc_w[i][2]
 
 
 def _kernel(pid_params, dyn_params: DroneParams, physics: Physics,

@@ -136,7 +136,8 @@ def _ground_manifold(params: DroneParams, pos, rot, dtype):
 
 
 def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
-                    mu: float, dt, extra=()):
+                    mu: float, dt, extra=(),
+                    iterations: int = SOLVER_ITERATIONS):
     """Projected Gauss-Seidel impulse solve for one body vs static geometry.
 
     arms: (..., K, 3) world arms to contact points, pen: (..., K) depths
@@ -255,7 +256,7 @@ def _solve_contacts(params: DroneParams, rot, vel, ang_v, arms, pen,
     # fori_loop keeps the traced graph one-sweep-sized (the unrolled form
     # made downstream XLA compiles of substep x rollout programs explode)
     vel, ang_v, *_ = jax.lax.fori_loop(
-        0, SOLVER_ITERATIONS, one_sweep, carry)
+        0, iterations, one_sweep, carry)
     return vel, ang_v
 
 
@@ -263,7 +264,8 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
              dt: float,
              ext_force: jnp.ndarray | None = None,
              ext_torque: jnp.ndarray | None = None,
-             obstacles: tuple = ()) -> PybState:
+             obstacles: tuple = (),
+             solver_iterations: int = SOLVER_ITERATIONS) -> PybState:
     """One physics substep of the Bullet-like integrator.
 
     ext_force / ext_torque are additional world-frame force/torque about the
@@ -360,7 +362,8 @@ def pyb_step(params: DroneParams, state: PybState, rpm: jnp.ndarray,
                               jnp.min(pen_ax, axis=-1))
             extra.append((n_hat, depth))
     vel, ang_v = _solve_contacts(params, rot, vel, ang_v, arms, pen,
-                                 GROUND_FRICTION, dt, extra)
+                                 GROUND_FRICTION, dt, extra,
+                                 iterations=solver_iterations)
 
     # --- Position integration with the corrected velocities ---
     pos = state.pos + dt * vel

@@ -271,6 +271,53 @@ def test_pyb_drone_drone_collision_tumbles():
     np.testing.assert_allclose(np.asarray(w3), 0.0, atol=1e-9)
 
 
+def test_solver_iterations_knob():
+    """cfg.solver_iterations: 50 sweeps converge at least as well as 4 on
+    a landing scenario (same resting height), and the fast path falls back
+    to XLA / the fused kernel rejects non-default counts (its PGS unroll
+    is compiled at 4)."""
+    from gym_pybullet_drones_tpu.envs.fast import (
+        make_batched_step, make_fused_rollout)
+
+    def land(iters):
+        cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                           pyb_freq=240, ctrl_freq=48,
+                           init_xyzs=((0.0, 0.0, 0.3),),
+                           init_rpys=((0.3, 0.0, 0.0),),
+                           solver_iterations=iters)
+        task = CtrlTask()
+        st, _, _ = reset(cfg, task)
+        stepper = jax.jit(lambda s: step(cfg, task, s,
+                                         jnp.zeros((1, 4)))[0])
+        for _ in range(96):
+            st = stepper(st)
+        return st
+
+    s4, s50 = land(4), land(50)
+    z_rest = P.CF2X.collision_z_offset + P.CF2X.collision_h / 2
+    assert abs(float(s4.pos[0, 2]) - z_rest) < 5e-3
+    assert abs(float(s50.pos[0, 2]) - z_rest) < 5e-3
+    # both at rest, righted from the initial 0.3 roll
+    assert float(jnp.abs(s50.vel).max()) < 5e-3
+
+    cfg50 = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                         pyb_freq=240, ctrl_freq=48, solver_iterations=50)
+    # batched fast path silently uses XLA (no pallas) and still steps
+    reset_fn, step_fn = make_batched_step(cfg50, CtrlTask(), 2,
+                                          use_pallas=True, autoreset=False)
+    st, obs = reset_fn(seed=0)
+    st, obs, *_ = step_fn(st, jnp.full((2, 1, 4), P.CF2X.hover_rpm))
+    assert obs.shape[0] == 2
+    # fused one-launch kernel refuses: its unroll is compiled at 4
+    import pytest as _pytest
+    from gym_pybullet_drones_tpu.envs.tasks import HoverTask
+    with _pytest.raises(ValueError, match="PGS sweeps"):
+        make_fused_rollout(
+            AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.PYB,
+                         pyb_freq=240, ctrl_freq=30, solver_iterations=50),
+            HoverTask(act=ActionType.RPM), 128, use_pallas=True)
+
+
 def test_randomized_resets_decorrelate_envs():
     """RLTask reset noise gives distinct per-env starts; default is exact."""
     import dataclasses

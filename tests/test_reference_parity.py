@@ -588,6 +588,51 @@ def test_pyb_contact_solver_iteration_convergence(ref):
     assert np.abs(obs50[-12:, :, 10:13]).max() < 5e-3, "50-sweep not at rest"
 
 
+def test_pyb_contact_50_sweep_parity(ref):
+    """Bullet-default converged solve: cfg.solver_iterations=50 tracks the
+    reference (executed over the shim at 50 PGS sweeps) as tightly as the
+    default-4 path does — the iteration count is now a user-facing
+    AviaryConfig knob on the XLA path, so the mm-scale truncation term of
+    PARITY.md (e) can be removed entirely when wanted (PyBullet
+    numSolverIterations default = 50)."""
+    from gym_pybullet_drones.envs.CtrlAviary import CtrlAviary
+    import pybullet as shim_pb
+    RDrone, RPhys = _ref_enums(ref)
+
+    init_xyzs = np.array([[0.0, 0.0, 0.3], [0.05, 0.0, 0.6]])
+    init_rpys = np.array([[0.3, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    n_steps = 96
+    actions = np.zeros((n_steps, 2, 4))
+
+    old = shim_pb._SOLVER_ITERATIONS
+    shim_pb._SOLVER_ITERATIONS = 50
+    try:
+        env = CtrlAviary(drone_model=RDrone.CF2X, num_drones=2,
+                         initial_xyzs=init_xyzs, initial_rpys=init_rpys,
+                         physics=RPhys.PYB, pyb_freq=240, ctrl_freq=48,
+                         gui=False, obstacles=False, user_debug_gui=False)
+        env.reset()
+        ref_obs = np.zeros((n_steps, 2, 20))
+        for i in range(n_steps):
+            obs, *_ = env.step(actions[i])
+            ref_obs[i] = obs
+        env.close()
+    finally:
+        shim_pb._SOLVER_ITERATIONS = old
+
+    cfg = core.AviaryConfig(
+        drone=P.CF2X, num_drones=2, physics=Physics.PYB,
+        pyb_freq=240, ctrl_freq=48,
+        init_xyzs=tuple(map(tuple, init_xyzs)),
+        init_rpys=tuple(map(tuple, init_rpys)),
+        solver_iterations=50)
+    _, my_obs, *_ = _my_rollout(cfg, tasks.CtrlTask(), actions)
+    np.testing.assert_allclose(my_obs[:, :, 0:3], ref_obs[:, :, 0:3],
+                               atol=1e-6, err_msg="pos @ 50 sweeps")
+    np.testing.assert_allclose(my_obs[:, :, 10:13], ref_obs[:, :, 10:13],
+                               atol=1e-5, err_msg="vel @ 50 sweeps")
+
+
 def test_obstacle_scene_parity_vs_reference(ref):
     """CtrlAviary(obstacles=True): contact against the reference's obstacle
     bodies (BaseAviary._addObstacles:955-978 — duck/cube/sphere2 loaded
