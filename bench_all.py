@@ -139,6 +139,32 @@ def main():
                     "value": round(best, 1), "unit": "env-steps/s",
                     "vs_baseline": round(best / 1e7, 4)})
 
+    # Pixel-based PPO: NatureCNN policy trained on the ray-traced RGB
+    # observations, rollout rendering + conv forward/backward all in one
+    # on-device program — a configuration the reference cannot train at
+    # speed at all (TinyRenderer renders each frame on the host CPU)
+    ppo = PPOConfig(num_envs=512, rollout_steps=32, num_minibatches=4,
+                    update_epochs=2, lr=1e-4)
+    init, update, _, _ = make_train(
+        cfg, HoverTask(act=ActionType.ONE_D_RPM,
+                       obs=ObservationType.RGB), ppo)
+    ts = init(jax.random.key(0))
+    upd = jax.jit(update)
+    ts, m = upd(ts)
+    float(m["mean_reward"])
+    best = 0.0
+    n_rep = 6
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            ts, m = upd(ts)
+        float(m["mean_reward"])
+        best = max(best, n_rep * ppo.batch_size
+                   / (time.perf_counter() - t0))
+    results.append({"metric": "ppo_env_steps_per_sec_rgb512",
+                    "value": round(best, 1), "unit": "env-steps/s",
+                    "vs_baseline": round(best / 1e7, 4)})
+
     # Mesh scaling efficiency (needs >1 device, e.g. CPU with
     # xla_force_host_platform_device_count)
     n_dev = len(jax.devices())

@@ -28,26 +28,46 @@ def run(num_envs=4096, num_drones=4, duration_sec=8, render_frame=True,
     # PID-controlled flight tumble in DYN)
     cfg, task = make_routing_config(num_drones=num_drones,
                                     physics=Physics.PYB)
-    # scripted flight: command the absolute destinations (the reference
+    # scripted flight: absolute waypoint commands (the reference
     # BaseRLAviary PID convention); the trainable default is
-    # relative_actions=True (see envs/routing.py)
+    # relative_actions=True (see envs/routing.py).  The routing goals are
+    # deliberately crossing paths (reversed line positions), and since the
+    # contact model gained full angular response, a scripted mid-air
+    # collision tumbles drones just like Bullet's — so the script flies the
+    # de-conflicted two-leg plan a trained routing policy converges to:
+    # cruise to the goal's (x, y) at a per-drone altitude band, then
+    # descend onto the goal once overhead.
     import dataclasses
     task = dataclasses.replace(task, relative_actions=False)
     dests = jnp.asarray(task.destinations, jnp.float32)
+    cruise = dests.at[:, 2].add(0.25 * jnp.arange(num_drones,
+                                                  dtype=jnp.float32))
     # no auto-reset: we want the final arrival snapshot, not episode cycling
     reset_fn, step_fn = make_batched_step(cfg, task, num_envs,
                                           autoreset=False)
     state, obs = reset_fn()
-    action = jnp.broadcast_to(dests, (num_envs,) + dests.shape)
 
     import functools
 
     @functools.partial(jax.jit, static_argnums=1)
     def rollout(state, n_chunk):
-        def body(s, _):
+        def body(carry, _):
+            s, descend = carry
+            pos = s.pos.reshape(num_envs, num_drones, 3)
+            xy_err = jnp.linalg.norm(pos[..., :2] - dests[None, :, :2],
+                                     axis=-1)
+            # latch the leg switch: once a drone has been overhead its
+            # goal it keeps the descend command (a plain threshold
+            # chatters at the boundary and destabilizes the PID)
+            descend = descend | (xy_err < 0.15)
+            action = jnp.where(descend[..., None], dests[None],
+                               cruise[None])
             s, obs, r, te, tr = step_fn(s, action)
-            return s, r
-        return jax.lax.scan(body, state, None, length=n_chunk)
+            return (s, descend), r
+        descend0 = jnp.zeros((num_envs, num_drones), bool)
+        (state, _), rew = jax.lax.scan(body, (state, descend0), None,
+                                       length=n_chunk)
+        return state, rew
 
     n_steps = duration_sec * cfg.ctrl_freq
     # compile warmup on a single step, then the timed rollout

@@ -35,6 +35,8 @@ DOC_ROWS = {
         r"RGB[^|]*\|\s*\**([0-9.]+)M",
     "ppo_env_steps_per_sec_hover8192":
         r"PPO training[^|]*\|\s*\**([0-9.]+)M",
+    "ppo_env_steps_per_sec_rgb512":
+        r"Pixel PPO[^|]*\|\s*\**([0-9.]+)M",
 }
 
 
