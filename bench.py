@@ -78,10 +78,14 @@ def main():
         float(jnp.sum(rew))  # host readback: forces full completion
         dt = time.perf_counter() - t0
         best = max(best, NUM_ENVS * chunk * repeats / dt)
-        # healthy chip: grow the per-launch work to amortize call overhead
+        # healthy chip: grow the per-launch work to amortize call overhead.
+        # The kernel runs at the HBM roofline (~4.6 us per 4096-env control
+        # step, artifacts/roofline.json env_kernels), so a 32k-step launch
+        # still spends ~15% of its wall in the fixed ~26 ms remote-tunnel
+        # dispatch; 128k-step launches (~0.6 s) push that under 5%.
         if dt < 5.0 and chunk < 2048:
             chunk *= 4
-        elif dt < 5.0 and repeats < 16:
+        elif dt < 5.0 and repeats < 64:
             repeats *= 4
         else:
             continue

@@ -143,6 +143,8 @@ def main():
     # observations, rollout rendering + conv forward/backward all in one
     # on-device program — a configuration the reference cannot train at
     # speed at all (TinyRenderer renders each frame on the host CPU)
+    cfg = AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                       pyb_freq=240, ctrl_freq=30)
     ppo = PPOConfig(num_envs=512, rollout_steps=32, num_minibatches=4,
                     update_epochs=2, lr=1e-4)
     init, update, _, _ = make_train(

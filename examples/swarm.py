@@ -40,8 +40,10 @@ def run(num_envs=4096, num_drones=4, duration_sec=8, render_frame=True,
     import dataclasses
     task = dataclasses.replace(task, relative_actions=False)
     dests = jnp.asarray(task.destinations, jnp.float32)
-    cruise = dests.at[:, 2].add(0.25 * jnp.arange(num_drones,
-                                                  dtype=jnp.float32))
+    # band starts at a NONZERO offset so every drone — including drone 0 —
+    # cruises above its goal altitude with its own de-conflicting band
+    cruise = dests.at[:, 2].add(0.15 * (jnp.arange(num_drones,
+                                                   dtype=jnp.float32) + 1.0))
     # no auto-reset: we want the final arrival snapshot, not episode cycling
     reset_fn, step_fn = make_batched_step(cfg, task, num_envs,
                                           autoreset=False)

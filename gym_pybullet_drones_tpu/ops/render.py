@@ -27,6 +27,21 @@ FOV_DEG = 60.0
 NEAR_FAR = (None, 1000.0)  # near comes from params.l
 BIG = 1e9
 
+# TinyRenderer-style fragment shading (the renderer behind the reference's
+# p.getCameraImage, BaseAviary.py:606-613):
+#   rgb = base_color * (AMBIENT + DIFFUSE * max(0, N . L))
+# transcribed from PyBullet's TinyRendererVisualShapeConverter defaults
+# lightAmbientCoeff=0.6 / lightDiffuseCoeff=0.35; the 0.05 specular default
+# is omitted (small at these coefficients).  The default light DIRECTION in
+# PyBullet is scene-scaled and not reproducible offline (zero egress, no
+# pybullet binary), so it is pinned here as one documented constant shared
+# by the engine and the test oracle (tests/test_render.py shading tests
+# recompute the expected colors independently in NumPy from these
+# constants).  Environment bound recorded in PARITY.md.
+AMBIENT = 0.6
+DIFFUSE = 0.35
+LIGHT_DIR = (0.4, 0.3, 0.85)
+
 
 class Scene(NamedTuple):
     """Static primitive scene (device arrays; leading axis = object index)."""
@@ -44,7 +59,18 @@ class Scene(NamedTuple):
 def landmark_scene(dtype=jnp.float32) -> Scene:
     """The 4-landmark RGB-observation scene (reference BaseRLAviary.py:99-128:
     block @ [1,0,.1], small cube @ [0,1,.1], duck @ [-1,0,.1],
-    teddy @ [0,-1,.1] — modeled as colored boxes/spheres)."""
+    teddy @ [0,-1,.1] — modeled as colored boxes/spheres).
+
+    Palette provenance: the reference objects' colors come from
+    pybullet_data URDF/OBJ+MTL materials (duck: yellow rubber-duck
+    texture; teddy: brown plush; block / cube_small: textured meshes).
+    Those asset files do not exist in this offline image, so the base
+    colors below are stand-ins matching each object's well-known
+    appearance, NOT transcribed MTL values — an environment bound like
+    the firmware binaries (PARITY.md).  The SHADING applied to them is
+    the transcribed TinyRenderer model (AMBIENT/DIFFUSE/LIGHT_DIR above),
+    verified per-object against an independent NumPy oracle in
+    tests/test_render.py."""
     return Scene(
         sphere_center=jnp.asarray([[-1, 0, 0.1], [0, -1, 0.1]], dtype),
         sphere_radius=jnp.asarray([0.08, 0.1], dtype),
@@ -85,8 +111,9 @@ def render(params: DroneParams, scene: Scene, cam_pos, cam_rot,
     every elementwise op fills the (8, 128) vector registers.  The earlier
     (..., H, W, S, 3)-shaped formulation padded its size-3/size-S trailing
     axes to full tiles and gathered hits with take_along_axis; this
-    unrolled running-min form is ~500x faster on a v5e for the 48x64
-    landmark scene at batch 256.
+    unrolled running-min form is ~250x faster for the 48x64 landmark scene
+    at batch 256 (measured 1.9k -> 0.50M env-steps/s on the benchmark chip,
+    assumed v5e; BENCH_ALL artifact + SCALING.md).
     """
     dtype = cam_pos.dtype
     near = params.l
@@ -221,12 +248,12 @@ def render(params: DroneParams, scene: Scene, cam_pos, cam_rot,
 
     seg = jnp.where(t_best < far, id_b, -1)
 
-    # lambertian shading + sky background
-    light = jnp.asarray([0.4, 0.3, 0.85], dtype)
+    # TinyRenderer-style ambient+diffuse shading (constants above) + sky
+    light = jnp.asarray(LIGHT_DIR, dtype)
     light = light / jnp.linalg.norm(light)
     lam = jnp.maximum(
         n_bx * light[0] + n_by * light[1] + n_bz * light[2], 0.0)
-    shade = 0.35 + 0.65 * lam
+    shade = AMBIENT + DIFFUSE * lam
     hit_mask = t_best < far
     sky = jnp.asarray([0.7, 0.85, 1.0], dtype)
     r8 = jnp.clip(jnp.where(hit_mask, shade * c_br, sky[0]) * 255.0, 0, 255)

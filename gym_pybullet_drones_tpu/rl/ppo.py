@@ -98,7 +98,8 @@ def _flat_obs(obs):
 
 
 def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
-               dtype=jnp.float32, network=None, mesh=None):
+               dtype=jnp.float32, network=None, mesh=None,
+               use_pallas: bool | None = None):
     """Build (init_fn, update_fn, rollout_eval_fn) for PPO on (cfg, task).
 
     update_fn is a pure jittable step: TrainState -> (TrainState, metrics);
@@ -110,6 +111,13 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     mesh: pass the device mesh when training sharded — the env step is then
     wrapped in shard_map so the Pallas physics kernels partition along the
     env axis instead of being gathered by GSPMD (see envs/fast.py).
+
+    use_pallas: forwarded to the env-step builders (None = TPU backend
+    only; True forces interpret mode on CPU — how the virtual-device dry
+    run exercises the production fused-kernel-under-mesh configuration).
+    The chosen path is recorded as `update.env_path` ('fused' | 'batched')
+    so callers can ASSERT which configuration actually compiled instead of
+    relying on the silent fallback.
     """
     n_drones = env_cfg.num_drones
     act_dim_per_drone = task.action_dim(env_cfg)
@@ -135,16 +143,19 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     from gym_pybullet_drones_tpu.envs.fast import (make_batched_step,
                                                    make_fused_rollout)
     batched_reset = batched_step = None
+    env_path = "batched"
     if dtype == jnp.float32:
         try:
             batched_reset, batched_step = make_fused_rollout(
-                env_cfg, task, ppo.num_envs, mesh=mesh, obs_layout="flat")
+                env_cfg, task, ppo.num_envs, mesh=mesh, obs_layout="flat",
+                use_pallas=use_pallas)
+            env_path = "fused"
         except ValueError:
             pass  # ineligible (RGB obs, randomized resets, ...)
     if batched_step is None:
         batched_reset, batched_step = make_batched_step(
             env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype,
-            mesh=mesh, obs_layout="flat")
+            mesh=mesh, obs_layout="flat", use_pallas=use_pallas)
 
     if ppo.anneal_lr:
         total_opt_steps = (ppo.num_updates * ppo.update_epochs
@@ -312,7 +323,7 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
         return jax.lax.scan(lambda t, _: update(t), ts, None,
                             length=num_updates)
 
-    def evaluate(params, key, num_steps: int = 240,
+    def evaluate(params, key, num_steps: int | None = None,
                  episodic: bool = False):
         """Deterministic-policy rollout; returns summed reward per env.
 
@@ -320,9 +331,14 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
         (SB3 EvalCallback): rewards stop accumulating after the first
         terminated/truncated signal.  The reference episode truly lasts
         EPISODE_LEN_SEC * ctrl_freq + 2 control steps (the pre-increment
-        step counter, QUIRKS.md #11), so threshold comparisons should
-        pass num_steps=242 for the 8 s tasks.
+        step counter, QUIRKS.md #11), so the default num_steps is derived
+        from the task as episode_len_sec * ctrl_freq + 2 — passing the
+        "natural" 240 would silently measure a truncated return.
         """
+        if num_steps is None:
+            num_steps = int(
+                getattr(task, "episode_len_sec", 8.0)
+                * env_cfg.ctrl_freq) + 2
         env_state, obs = batched_reset()
         obs = _flat_obs(obs)
         alive0 = jnp.ones(obs.shape[0], bool)
@@ -343,4 +359,5 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
         return rewards.sum(axis=0)
 
     update.many = update_many  # chunked training without changing arity
+    update.env_path = env_path  # 'fused' | 'batched' (see docstring)
     return init, update, evaluate, network

@@ -30,6 +30,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 PEAK_F32_TFLOPS = 98.5      # v5e MXU f32-via-bf16x3 approx; see docstring
 PEAK_HBM_GBS = 819.0        # v5e HBM bandwidth
+# VPU (vector unit) peak, the ceiling for the env kernels (pure
+# elementwise math, MXU unused): 4 ALUs x (8, 128) lanes x ~1.5 GHz
+# (clock back-derived from the 197 bf16 TFLOP/s MXU datasheet peak:
+# 197e12 / (4 MXUs x 128x128 MACs x 2)).  ~6.1 TFLOP/s counting one
+# flop/ALU/cycle; FMA-heavy code can reach ~2x this.  ASSUMED like the
+# other peaks (platform string is 'axon').
+PEAK_F32_VPU_TFLOPS = 6.1
 
 
 def _cost(compiled):
@@ -111,6 +118,110 @@ def main():
         "wall_s_per_step_slope_fit": per_step,
         "env_steps_per_s": B / per_step,
         "chain_times_s": times,
+    }
+
+    # ---- (a2) fused env-kernel rooflines (VERDICT r3 next #6) ----------
+    # The Pallas kernel is opaque to XLA's cost model, but its HBM traffic
+    # is EXACT by construction (the carry/action/output rows are read and
+    # written once per control step; everything between substeps lives in
+    # VMEM), and its algorithmic flops are well-approximated by the XLA
+    # cost model of the mathematically-equivalent non-fused program
+    # (make_batched_step(use_pallas=False) — kernel-equivalence-tested
+    # against the fused path in tests/test_fused.py).
+    from gym_pybullet_drones_tpu.envs import make_routing_config
+    from gym_pybullet_drones_tpu.ops import pallas_fused
+
+    def _env_kernel_roofline(cfg_k, task_k, B_k, chains=(1024, 4096)):
+        n = cfg_k.num_drones
+        buf_len, act_dim = task_k.action_buffer_shape(cfg_k)
+        buf_rows = buf_len * act_dim
+        _, rc = pallas_fused._layout(n, buf_rows, task_k.act)
+        n_extra = (task_k.n_extra_obs_rows
+                   if getattr(task_k, "row_extra_obs", None) is not None
+                   else 0)
+        ro = n * (12 + buf_rows + n_extra) + 3
+        # carry read + carry write + action read + output write, f32
+        bytes_step = (2 * rc + n * act_dim + ro) * 4 * B_k
+        # algorithmic flops: cost model of the equivalent XLA-path step
+        r_fb, s_fb = make_batched_step(cfg_k, task_k, B_k,
+                                       use_pallas=False, obs_layout="flat")
+        st_fb, _ = r_fb()
+        act_k = jnp.zeros((B_k, n, act_dim), jnp.float32)
+        comp_fb = jax.jit(s_fb).lower(st_fb, act_k).compile()
+        flops_step, _ = _cost(comp_fb)
+        # measured fused-kernel time: slope fit over chained scans with
+        # the obs kept live (same honesty rule as bench.py)
+        try:
+            reset_k, step_k = make_fused_rollout(cfg_k, task_k, B_k)
+        except ValueError:   # CPU run: time the XLA path instead
+            reset_k, step_k = r_fb, s_fb
+        st_k, _ = reset_k()
+
+        def chain_k(state, nn):
+            def body(c, _):
+                s, acc = c
+                s, o, r, te, tr = step_k(s, act_k)
+                return (s, acc + jnp.sum(o)), None
+            (s, acc), _ = jax.lax.scan(body, (state, 0.0), None, length=nn)
+            return s, acc
+
+        ck = jax.jit(chain_k, static_argnums=1)
+        tk = {}
+        for n_chain in chains:
+            comp = ck.lower(st_k, n_chain).compile()
+            s2, acc = comp(st_k)
+            float(acc)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                s2, acc = comp(st_k)
+                float(acc)
+                best = min(best, time.perf_counter() - t0)
+            tk[n_chain] = best
+        per_s = (tk[chains[1]] - tk[chains[0]]) / (chains[1] - chains[0])
+        rate = B_k / per_s
+        return {
+            "num_envs": B_k,
+            "carry_rows": rc, "out_rows": ro,
+            "hbm_bytes_per_ctrl_step_exact": bytes_step,
+            "alg_flops_per_ctrl_step_xla_cost_model": flops_step,
+            "flops_per_env_step": flops_step / B_k,
+            "measured_s_per_ctrl_step": per_s,
+            "env_steps_per_s": rate,
+            "achieved_gbs": bytes_step / per_s / 1e9,
+            "pct_of_hbm_roofline":
+                100 * (bytes_step / per_s) / (PEAK_HBM_GBS * 1e9),
+            "achieved_vpu_tflops": flops_step / per_s / 1e12,
+            "pct_of_assumed_vpu_peak":
+                100 * (flops_step / per_s) / (PEAK_F32_VPU_TFLOPS * 1e12),
+            "bound": ("vpu-compute" if
+                      (flops_step / (PEAK_F32_VPU_TFLOPS * 1e12))
+                      > (bytes_step / (PEAK_HBM_GBS * 1e9))
+                      else "hbm"),
+        }
+
+    cfg_rt, task_rt = make_routing_config(num_drones=4, spacing=0.5)
+    report["env_kernels"] = {
+        "hover_dyn_4096": _env_kernel_roofline(
+            AviaryConfig(drone=P.CF2X, num_drones=1, physics=Physics.DYN,
+                         pyb_freq=240, ctrl_freq=30),
+            HoverTask(act=ActionType.RPM), 4096),
+        "routing_pyb_4096": _env_kernel_roofline(
+            cfg_rt, task_rt, 4096, chains=(64, 256)),
+    }
+    # adjudicate the 2.5x session-to-session PYB variance (SCALING.md):
+    # which historical routing-PYB rate is consistent with the assumed
+    # VPU peak?  implied TFLOP/s = alg flops/ctrl-step * rate / num_envs.
+    rk = report["env_kernels"]["routing_pyb_4096"]
+    fpe = rk["flops_per_env_step"]
+    report["env_kernels"]["pyb_session_variance_check"] = {
+        "flops_per_env_step": fpe,
+        "implied_vpu_tflops_at_77.3M": 77.3e6 * fpe / 1e12,
+        "implied_vpu_tflops_at_29M": 29e6 * fpe / 1e12,
+        "assumed_vpu_peak_tflops": PEAK_F32_VPU_TFLOPS,
+        "note": "a rate whose implied TFLOP/s exceeds the assumed VPU "
+                "peak (even the 2x FMA band) cannot be chip-limited "
+                "truth for this kernel",
     }
 
     # ---- (b) full PPO update -------------------------------------------

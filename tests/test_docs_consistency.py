@@ -17,8 +17,19 @@ import re
 import pytest
 
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-ARTIFACT = os.path.join(ROOT, "BENCH_ALL_r03.json")
+
+
+def _latest(pattern):
+    """Newest committed round artifact (BENCH_ALL_r03.json < ..._r04.json)."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(ROOT, pattern)))
+    return paths[-1] if paths else os.path.join(ROOT, pattern)
+
+
+ARTIFACT = _latest("BENCH_ALL_r[0-9]*.json")
+BENCH_ARTIFACT = _latest("BENCH_r[0-9]*.json")
 SCALING = os.path.join(ROOT, "SCALING.md")
+README = os.path.join(ROOT, "README.md")
 
 # metric name in the artifact -> regex capturing the SCALING.md value in
 # MILLIONS of env-steps/s
@@ -80,3 +91,59 @@ def test_scaling_md_no_stale_claims():
         assert ("assum" in line.lower() or "datasheet" in line.lower()
                 or "nominal" in line.lower()), \
             f"unqualified chip-model claim: {line!r}"
+
+
+# README.md headline numbers (VERDICT round-3 weak #2: README drifted
+# immediately after the SCALING.md gate landed because only SCALING.md was
+# covered — same drift band, same artifact)
+README_ROWS = {
+    "env_steps_per_sec_multihover2x8192": r"MultiHover ([0-9.]+)M",
+    "env_steps_per_sec_routing4x4096": r"routing ([0-9.]+)M DYN",
+    "env_steps_per_sec_routing4x4096_pyb": r"([0-9.]+)M default-PYB",
+    "env_steps_per_sec_hover4096_pyb_aero": r"all-aero Hover ([0-9.]+)M",
+    "ppo_env_steps_per_sec_hover8192": r"full PPO training ([0-9.]+)M",
+}
+
+
+def test_readme_matches_bench_artifact(artifact):
+    doc = open(README).read()
+    values = {r["metric"]: r["value"] for r in artifact["results"]}
+    missing, drifted = [], []
+    for metric, pattern in README_ROWS.items():
+        if metric not in values:
+            continue
+        m = re.search(pattern, doc)
+        if not m:
+            missing.append(metric)
+            continue
+        doc_v = float(m.group(1)) * 1e6
+        ratio = doc_v / max(values[metric], 1.0)
+        if not (0.6 <= ratio <= 1.6):
+            drifted.append((metric, doc_v, values[metric], round(ratio, 2)))
+    assert not missing, f"README.md rows missing for: {missing}"
+    assert not drifted, f"README.md drifted from artifact: {drifted}"
+
+
+def test_readme_headline_matches_driver_bench():
+    """The '~NNNM env-steps/s on a single TPU chip' headline must track the
+    committed driver bench artifact (BENCH_r0N.json)."""
+    if not os.path.exists(BENCH_ARTIFACT):
+        pytest.skip("driver bench artifact absent")
+    with open(BENCH_ARTIFACT) as f:
+        measured = json.load(f)["parsed"]["value"]
+    doc = open(README).read()
+    m = re.search(r"~([0-9.]+)M env-steps/s on a single TPU chip", doc)
+    assert m, "README headline throughput claim not found"
+    ratio = float(m.group(1)) * 1e6 / measured
+    assert 0.6 <= ratio <= 1.6, (m.group(1), measured)
+
+
+def test_readme_no_unqualified_chip_claims():
+    """Same policy as SCALING.md: jax reports platform 'axon', so any chip
+    model named in README must be labeled assumed/datasheet/nominal."""
+    doc = open(README).read()
+    for m in re.finditer(r"^.*v5e.*$", doc, re.M):
+        line = m.group(0)
+        assert ("assum" in line.lower() or "datasheet" in line.lower()
+                or "nominal" in line.lower()), \
+            f"unqualified chip-model claim in README: {line!r}"
