@@ -69,7 +69,10 @@ def run(multiagent=DEFAULT_MA, output_folder=DEFAULT_OUTPUT_FOLDER,
 
     ts = init(jax.random.key(seed))
     upd = jax.jit(update)
-    eval_fn = jax.jit(lambda p, k: evaluate(p, k, num_steps=8 * 30))
+    # reference eval protocol: episodic accounting over the full
+    # episode_len_sec*ctrl_freq + 2 control steps (QUIRKS.md #11) —
+    # evaluate() derives that step count from the task by default
+    eval_fn = jax.jit(lambda p, k: evaluate(p, k, episodic=True))
 
     start = time.time()
     best_eval = -np.inf
