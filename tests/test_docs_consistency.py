@@ -147,3 +147,18 @@ def test_readme_no_unqualified_chip_claims():
         assert ("assum" in line.lower() or "datasheet" in line.lower()
                 or "nominal" in line.lower()), \
             f"unqualified chip-model claim in README: {line!r}"
+
+
+def test_scaling_hover_row_matches_driver_bench():
+    """The SCALING.md hover-stepping row comes from bench.py, not
+    bench_all.py — gate it against the newest committed BENCH_r0N.json
+    like the README headline."""
+    if not os.path.exists(BENCH_ARTIFACT):
+        pytest.skip("driver bench artifact absent")
+    with open(BENCH_ARTIFACT) as f:
+        measured = json.load(f)["parsed"]["value"]
+    doc = open(SCALING).read()
+    m = re.search(r"Hover env stepping, 4096 envs \|\s*\**([0-9.]+)M", doc)
+    assert m, "SCALING.md hover-stepping row not found"
+    ratio = float(m.group(1)) * 1e6 / measured
+    assert 0.6 <= ratio <= 1.6, (m.group(1), measured)
