@@ -5,3 +5,8 @@ from gym_pybullet_drones_tpu.rl.ppo import (  # noqa: F401
     Transition,
     make_train,
 )
+from gym_pybullet_drones_tpu.rl.population import (  # noqa: F401
+    make_sharded_population_update,
+    make_train_population,
+    shard_population,
+)

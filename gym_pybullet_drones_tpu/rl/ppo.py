@@ -99,7 +99,8 @@ def _flat_obs(obs):
 
 def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
                dtype=jnp.float32, network=None, mesh=None,
-               use_pallas: bool | None = None):
+               use_pallas: bool | None = None,
+               env_path: str | None = None):
     """Build (init_fn, update_fn, rollout_eval_fn) for PPO on (cfg, task).
 
     update_fn is a pure jittable step: TrainState -> (TrainState, metrics);
@@ -118,7 +119,15 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     The chosen path is recorded as `update.env_path` ('fused' | 'batched')
     so callers can ASSERT which configuration actually compiled instead of
     relying on the silent fallback.
+
+    env_path: None = auto (fused when eligible, else batched); 'batched'
+    forces the XLA batched step (e.g. population tests that should not pay
+    an interpret-mode Pallas trace); 'fused' requires the fused kernel and
+    raises instead of silently falling back.
     """
+    if env_path not in (None, "fused", "batched"):
+        raise ValueError(f"env_path must be None|'fused'|'batched', "
+                         f"got {env_path!r}")
     n_drones = env_cfg.num_drones
     act_dim_per_drone = task.action_dim(env_cfg)
     act_dim = n_drones * act_dim_per_drone
@@ -142,16 +151,20 @@ def make_train(env_cfg: core.AviaryConfig, task, ppo: PPOConfig,
     # observations, so skip the padded (B, N, D) relayout in the env step.
     from gym_pybullet_drones_tpu.envs.fast import (make_batched_step,
                                                    make_fused_rollout)
+    forced_path = env_path
     batched_reset = batched_step = None
     env_path = "batched"
-    if dtype == jnp.float32:
+    if dtype == jnp.float32 and forced_path != "batched":
         try:
             batched_reset, batched_step = make_fused_rollout(
                 env_cfg, task, ppo.num_envs, mesh=mesh, obs_layout="flat",
                 use_pallas=use_pallas)
             env_path = "fused"
         except ValueError:
-            pass  # ineligible (RGB obs, randomized resets, ...)
+            if forced_path == "fused":
+                raise
+    if forced_path == "fused" and env_path != "fused":
+        raise ValueError("env_path='fused' requires dtype=float32")
     if batched_step is None:
         batched_reset, batched_step = make_batched_step(
             env_cfg, task, ppo.num_envs, autoreset=True, dtype=dtype,
