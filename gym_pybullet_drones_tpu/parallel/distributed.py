@@ -38,19 +38,24 @@ def initialize(coordinator_address: str | None = None,
     return jax.process_index()
 
 
-def global_env_batch(mesh: Mesh, local_leaves, axis_name: str = "data"):
+def global_env_batch(mesh: Mesh, local_leaves, axis_name: str = "data",
+                     env_axis: int = 0):
     """Assemble a globally-sharded pytree from per-host local env shards.
 
-    local_leaves: pytree of host-local arrays with leading axis
+    local_leaves: pytree of host-local arrays whose `env_axis` dimension is
     local_num_envs; the result is the global array of
     (num_hosts * local_num_envs) envs, sharded over the mesh without any
-    cross-host data movement.
+    cross-host data movement.  env_axis=0 covers EnvState pytrees and
+    actions (env-major); the fused rollout's packed carry keeps envs in the
+    trailing LANE axis (ops/pallas_fused.py), so pass env_axis=1 for it.
     """
-    sharding = NamedSharding(mesh, P(axis_name))
+    spec = P(*([None] * env_axis + [axis_name]))
+    sharding = NamedSharding(mesh, spec)
 
     def assemble(x):
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        global_shape = list(x.shape)
+        global_shape[env_axis] *= jax.process_count()
         return jax.make_array_from_process_local_data(
-            sharding, np.asarray(x), global_shape)
+            sharding, np.asarray(x), tuple(global_shape))
 
     return jax.tree.map(assemble, local_leaves)

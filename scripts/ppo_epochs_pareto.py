@@ -60,24 +60,35 @@ def main():
                    "--max_updates", str(horizon),
                    "--out", out, *flags]
             print(f"=== {task} epochs={ep}: {' '.join(cmd)}", flush=True)
-            rc = subprocess.call(cmd, cwd=ROOT)
-            row = {"task": task, "update_epochs": ep, "seed": args.seed,
-                   "max_updates": horizon, "reached": False, "rc": rc}
-            if os.path.exists(out):
-                with open(out) as fh:
-                    d = json.load(fh)
-                row.update({
-                    "reached": d["reached"],
-                    "target": d["target_reward"],
-                    "env_steps_to_threshold": d["reached_at_env_steps"],
-                    "wall_s_to_threshold":
-                        None if d["reached_at_update"] is None else
-                        d["curve"][d["reached_at_update"]]["wall_s"],
-                    "updates_to_threshold": d["reached_at_update"],
-                    "platform": d["platform"],
-                    "device": d["device"],
-                })
-                os.unlink(out)
+            try:
+                rc = subprocess.call(cmd, cwd=ROOT)
+                row = {"task": task, "update_epochs": ep,
+                       "seed": args.seed, "max_updates": horizon,
+                       "reached": False, "rc": rc}
+                if os.path.exists(out) and os.path.getsize(out):
+                    with open(out) as fh:
+                        d = json.load(fh)
+                    row.update({
+                        "reached": d["reached"],
+                        "target": d["target_reward"],
+                        "env_steps_to_threshold": d["reached_at_env_steps"],
+                        "wall_s_to_threshold":
+                            None if d["reached_at_update"] is None else
+                            d["curve"][d["reached_at_update"]]["wall_s"],
+                        "updates_to_threshold": d["reached_at_update"],
+                        "platform": d["platform"],
+                        "device": d["device"],
+                    })
+                else:
+                    # the trainer writes its artifact even when the target
+                    # is not reached, so a missing file means the child
+                    # CRASHED — distinct from "did not converge" (ADVICE r4)
+                    row["error"] = f"child run crashed (rc={rc}, no output)"
+                    print(f"!!! {task} epochs={ep}: {row['error']}",
+                          file=sys.stderr, flush=True)
+            finally:
+                if os.path.exists(out):
+                    os.unlink(out)
             settings.append(row)
             print(f"=== {task} epochs={ep}: {row}", flush=True)
 

@@ -153,8 +153,10 @@ def main():
         # the obs kept live (same honesty rule as bench.py)
         try:
             reset_k, step_k = make_fused_rollout(cfg_k, task_k, B_k)
+            measured_path = "fused"
         except ValueError:   # CPU run: time the XLA path instead
             reset_k, step_k = r_fb, s_fb
+            measured_path = "xla-fallback"
         st_k, _ = reset_k()
 
         def chain_k(state, nn):
@@ -180,7 +182,13 @@ def main():
             tk[n_chain] = best
         per_s = (tk[chains[1]] - tk[chains[0]]) / (chains[1] - chains[0])
         rate = B_k / per_s
-        return {
+        out = {
+            # which implementation the timing below actually measured; the
+            # exact-HBM-bytes model describes the FUSED kernel, so the
+            # roofline percentages are only meaningful when this says
+            # 'fused' (ADVICE r4: a CPU-generated artifact must be
+            # distinguishable from a TPU one)
+            "measured_path": measured_path,
             "num_envs": B_k,
             "carry_rows": rc, "out_rows": ro,
             "hbm_bytes_per_ctrl_step_exact": bytes_step,
@@ -199,6 +207,13 @@ def main():
                       > (bytes_step / (PEAK_HBM_GBS * 1e9))
                       else "hbm"),
         }
+        if measured_path != "fused":
+            # percentages computed from the fused-kernel byte model do not
+            # describe the fallback implementation — drop them
+            for k in ("pct_of_hbm_roofline", "pct_of_assumed_vpu_peak",
+                      "achieved_gbs", "achieved_vpu_tflops", "bound"):
+                out.pop(k)
+        return out
 
     cfg_rt, task_rt = make_routing_config(num_drones=4, spacing=0.5)
     report["env_kernels"] = {

@@ -20,9 +20,24 @@ ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 def _latest(pattern):
-    """Newest committed round artifact (BENCH_ALL_r03.json < ..._r04.json)."""
+    """Newest GIT-TRACKED round artifact (BENCH_ALL_r03.json < ..._r04.json).
+
+    Restricting to tracked files makes the gate deterministic across
+    checkouts (ADVICE r4: an untracked local BENCH_r0N.json used to change
+    which artifact the committed docs were tested against).  Falls back to
+    the filesystem glob when git is unavailable (e.g. an sdist).
+    """
+    import fnmatch
     import glob
-    paths = sorted(glob.glob(os.path.join(ROOT, pattern)))
+    import subprocess
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", pattern], cwd=ROOT, capture_output=True,
+            text=True, check=True).stdout.split()
+        paths = sorted(os.path.join(ROOT, p) for p in tracked
+                       if fnmatch.fnmatch(os.path.basename(p), pattern))
+    except (OSError, subprocess.CalledProcessError):
+        paths = sorted(glob.glob(os.path.join(ROOT, pattern)))
     return paths[-1] if paths else os.path.join(ROOT, pattern)
 
 
