@@ -22,6 +22,7 @@ import tempfile
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRAIN = os.path.join(ROOT, "scripts", "train_to_threshold.py")
+TRAIN_POP = os.path.join(ROOT, "scripts", "train_population.py")
 
 
 def main():
@@ -34,6 +35,11 @@ def main():
     ap.add_argument("--merge", action="store_true",
                     help="merge new rows into an existing artifact "
                          "(replacing same task+epochs rows)")
+    ap.add_argument("--population", type=int, default=0, metavar="K",
+                    help="train K seeds per setting in ONE vmapped program "
+                         "(scripts/train_population.py) so every row "
+                         "carries a seed spread instead of seed 0 alone "
+                         "(VERDICT r4 next #8)")
     args = ap.parse_args()
 
     # flags mirror the committed single-setting artifacts, INCLUDING the
@@ -42,30 +48,67 @@ def main():
     # hover committed run = 400, multihover = 600; 1200 for hover gives
     # epochs=2 headroom to finish, which it needs)
     tasks = {
-        "hover": (1200, ["--num_envs", "64", "--anneal"]),
+        "hover": (1200, ["--num_envs", "64", "--anneal"],
+                  ["--num_envs", "64", "--gamma", "0.99",
+                   "--hidden", "64"]),
         "multihover": (600, ["--multiagent", "--num_envs", "128",
                              "--anneal", "--gamma", "0.995",
-                             "--hidden", "128"]),
+                             "--hidden", "128"],
+                       ["--num_envs", "128", "--gamma", "0.995",
+                        "--hidden", "128"]),
     }
     settings = []
     for task in args.tasks:
-        horizon, flags = tasks[task]
+        horizon, flags, pop_flags = tasks[task]
         horizon = args.max_updates or horizon
         for ep in args.epochs:
             with tempfile.NamedTemporaryFile(
                     suffix=".json", delete=False) as f:
                 out = f.name
-            cmd = [sys.executable, TRAIN, "--platform", "tpu",
-                   "--seed", str(args.seed), "--epochs", str(ep),
-                   "--max_updates", str(horizon),
-                   "--out", out, *flags]
+            if args.population:
+                # K seeds per setting, one vmapped program (anneal is
+                # always on in train_population, matching the --anneal
+                # flags of the single-seed rows)
+                cmd = [sys.executable, TRAIN_POP, "--task", task,
+                       "--num_policies", str(args.population),
+                       "--seed", str(args.seed), "--epochs", str(ep),
+                       "--max_updates", str(horizon),
+                       "--out", out, *pop_flags]
+            else:
+                cmd = [sys.executable, TRAIN, "--platform", "tpu",
+                       "--seed", str(args.seed), "--epochs", str(ep),
+                       "--max_updates", str(horizon),
+                       "--out", out, *flags]
             print(f"=== {task} epochs={ep}: {' '.join(cmd)}", flush=True)
             try:
                 rc = subprocess.call(cmd, cwd=ROOT)
                 row = {"task": task, "update_epochs": ep,
                        "seed": args.seed, "max_updates": horizon,
                        "reached": False, "rc": rc}
-                if os.path.exists(out) and os.path.getsize(out):
+                if args.population and os.path.exists(out) \
+                        and os.path.getsize(out):
+                    with open(out) as fh:
+                        d = json.load(fh)
+                    steps_per_seed = d["reached_at_env_steps"]
+                    reached_steps = sorted(
+                        s for s in steps_per_seed if s is not None)
+                    row.update({
+                        "population": args.population,
+                        "reached": d["seeds_crossed"] > 0,
+                        "seeds_crossed":
+                            f"{d['seeds_crossed']}/{d['num_policies']}",
+                        "target": d["target_reward"],
+                        "env_steps_to_threshold_per_seed": steps_per_seed,
+                        "env_steps_to_threshold":
+                            (reached_steps[len(reached_steps) // 2]
+                             if reached_steps else None),
+                        "updates_to_threshold_per_seed":
+                            d["reached_at_update"],
+                        "total_wall_s_population": d["total_wall_s"],
+                        "platform": d["platform"],
+                        "device": d["device"],
+                    })
+                elif os.path.exists(out) and os.path.getsize(out):
                     with open(out) as fh:
                         d = json.load(fh)
                     row.update({
@@ -95,8 +138,12 @@ def main():
     result = {
         "description": "env-steps and wall-s to the reference solved "
                        "threshold vs PPO update_epochs (sample reuse); "
-                       "one seed per setting, same hyperparameters as the "
-                       "committed learning-curve artifacts",
+                       "same hyperparameters as the committed "
+                       "learning-curve artifacts.  Rows with a "
+                       "'population' field carry a per-seed spread (K "
+                       "seeds trained in one vmapped program, "
+                       "rl/population.py); env_steps_to_threshold is then "
+                       "the MEDIAN over crossing seeds",
         "reference_thresholds":
             "gym_pybullet_drones/examples/learn.py:78-83",
         "settings": settings,

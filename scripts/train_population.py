@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--gamma", type=float, default=0.995)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--ent_coef", type=float, default=0.0)
+    ap.add_argument("--log_std_init", type=float, default=0.0)
+    ap.add_argument("--rollout_steps", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0,
                     help="population seed key; member i trains from "
                          "split(key(seed), K)[i]")
@@ -65,10 +68,12 @@ def main():
     cfg = AviaryConfig(drone=P.CF2X, num_drones=2 if multi else 1,
                        physics=Physics.PYB, pyb_freq=240, ctrl_freq=30)
     task = (MultiHoverTask if multi else HoverTask)(act=ActionType.ONE_D_RPM)
-    ppo = PPOConfig(num_envs=args.num_envs, rollout_steps=64,
+    ppo = PPOConfig(num_envs=args.num_envs, rollout_steps=args.rollout_steps,
                     num_minibatches=4, update_epochs=args.epochs,
-                    total_timesteps=args.max_updates * args.num_envs * 64,
+                    total_timesteps=(args.max_updates * args.num_envs
+                                     * args.rollout_steps),
                     anneal_lr=True, lr=args.lr, gamma=args.gamma,
+                    ent_coef=args.ent_coef, log_std_init=args.log_std_init,
                     hidden=(args.hidden, args.hidden))
     K = args.num_policies
     pinit, pupd, peval, network = make_train_population(
@@ -128,6 +133,8 @@ def main():
                 "num_minibatches": ppo.num_minibatches,
                 "update_epochs": ppo.update_epochs, "lr": ppo.lr,
                 "anneal_lr": ppo.anneal_lr, "gamma": ppo.gamma,
+                "ent_coef": ppo.ent_coef,
+                "log_std_init": ppo.log_std_init,
                 "hidden": list(ppo.hidden),
                 "max_updates": args.max_updates},
         "note": ("all seeds train in ONE vmapped XLA program "

@@ -78,10 +78,14 @@ def test_fused_mesh_hover_dyn():
 
 def test_fused_mesh_routing_pyb():
     """Routing (PYB contact + embedded PID + adjacency obs) sharded
-    (VERDICT next #1 config B).  3 control steps keeps interpret-mode CI
-    cost bounded while still crossing the action-ring push and contact
-    paths."""
-    cfg, task = make_routing_config(num_drones=3, spacing=0.4)
+    (VERDICT next #1 config B).  2 drones / 2 control steps keeps the
+    interpret-mode trace ~half the 3-drone cost (VERDICT r4 next #6) while
+    still crossing the action-ring push, contact, and adjacency-obs paths;
+    sharding is drone-count-independent (the mesh partitions env LANES,
+    drones couple only across rows within a lane), and the 3-drone routing
+    kernel itself stays covered unsharded in
+    tests/test_fused.py::test_fused_routing_parity."""
+    cfg, task = make_routing_config(num_drones=2, spacing=0.4)
     _compare_sharded_vs_unsharded(cfg, task, n_dev=8, steps=2, scale=0.5)
 
 
