@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--ent_coef", type=float, default=0.0)
     ap.add_argument("--log_std_init", type=float, default=0.0)
     ap.add_argument("--rollout_steps", type=int, default=64)
+    ap.add_argument("--sb3_minibatching", action="store_true",
+                    help="SB3's exact flattened-(T*E) minibatch shuffle "
+                         "instead of the communication-free time-axis "
+                         "subsets (rl/ppo.py PPOConfig)")
+    ap.add_argument("--no_anneal", action="store_true",
+                    help="constant lr (SB3's default schedule)")
+    ap.add_argument("--num_minibatches", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0,
                     help="population seed key; member i trains from "
                          "split(key(seed), K)[i]")
@@ -69,11 +76,14 @@ def main():
                        physics=Physics.PYB, pyb_freq=240, ctrl_freq=30)
     task = (MultiHoverTask if multi else HoverTask)(act=ActionType.ONE_D_RPM)
     ppo = PPOConfig(num_envs=args.num_envs, rollout_steps=args.rollout_steps,
-                    num_minibatches=4, update_epochs=args.epochs,
+                    num_minibatches=args.num_minibatches,
+                    update_epochs=args.epochs,
                     total_timesteps=(args.max_updates * args.num_envs
                                      * args.rollout_steps),
-                    anneal_lr=True, lr=args.lr, gamma=args.gamma,
+                    anneal_lr=not args.no_anneal, lr=args.lr,
+                    gamma=args.gamma,
                     ent_coef=args.ent_coef, log_std_init=args.log_std_init,
+                    sb3_minibatching=args.sb3_minibatching,
                     hidden=(args.hidden, args.hidden))
     K = args.num_policies
     pinit, pupd, peval, network = make_train_population(
@@ -135,6 +145,7 @@ def main():
                 "anneal_lr": ppo.anneal_lr, "gamma": ppo.gamma,
                 "ent_coef": ppo.ent_coef,
                 "log_std_init": ppo.log_std_init,
+                "sb3_minibatching": ppo.sb3_minibatching,
                 "hidden": list(ppo.hidden),
                 "max_updates": args.max_updates},
         "note": ("all seeds train in ONE vmapped XLA program "
