@@ -72,12 +72,18 @@ def main() -> int:
 
     while pending or running:
         while pending and len(running) < args.jobs:
+            # hold a heavy file back while another heavy runs AND light
+            # work remains (avoids two interpret-mode traces contending);
+            # once only heavies are left, run them concurrently — an idle
+            # core is worse than the contention penalty
+            only_heavy = all(os.path.basename(p) in HEAVY for p in pending)
             idx = next(
                 (i for i, p in enumerate(pending)
-                 if not (os.path.basename(p) in HEAVY and heavy_running())),
+                 if only_heavy or not (os.path.basename(p) in HEAVY
+                                       and heavy_running())),
                 None)
             if idx is None:
-                break  # only heavy files left and one is already running
+                break
             launch(pending.pop(idx))
         time.sleep(0.2)
         for item in running[:]:

@@ -63,6 +63,8 @@ DOC_ROWS = {
         r"PPO training[^|]*\|\s*\**([0-9.]+)M",
     "ppo_env_steps_per_sec_rgb512":
         r"Pixel PPO[^|]*\|\s*\**([0-9.]+)M",
+    "ppo_env_steps_per_sec_population8x1024":
+        r"PPO population[^|]*\|\s*\**([0-9.]+)M",
 }
 
 
