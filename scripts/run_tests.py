@@ -11,6 +11,12 @@ process isolation: each test FILE runs in a fresh pytest subprocess, so no
 process compiles more than one file's worth of XLA programs.  Up to
 --jobs subprocesses run concurrently (default: min(4, cpu_count)).
 
+Runs share a persistent XLA compilation cache (.cache/jax_xla_cache, set
+up in tests/conftest.py): the first-ever run pays the full XLA:CPU
+compile cost of the interpret-mode Pallas programs; later runs (and
+re-runs of a single file during development) load the compiled
+executables from disk.  Set GPDT_JAX_CACHE=off to disable.
+
 Usage:  python scripts/run_tests.py [--jobs N] [extra pytest args...]
 Exit status is non-zero iff any file fails; a per-file and aggregate
 summary is printed either way.  Wired into build_project.sh and CI

@@ -22,3 +22,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache across test processes AND suite runs.
+# The suite's wall-clock is dominated by XLA:CPU compiles of the
+# interpret-mode Pallas programs (measured: the Hover-DYN fused step is
+# 18.5 s compile vs 0.4 s trace; the 3-drone routing fused step ~8 min,
+# mostly compile).  scripts/run_tests.py isolates each file in a fresh
+# process, so without a disk cache every process recompiles from zero.
+# With the cache, identical programs (same file re-run, or shared kernels
+# across files) load in seconds.  Correctness-neutral: the cache key is
+# the full HLO + compile options + backend, and a miss just compiles.
+# XLA:CPU's AOT loader prints cosmetic E-level "machine feature" warnings
+# when loading cached executables (its compile-feature list includes
+# tuning pseudo-features like +prefer-no-scatter that the host-feature
+# list never names) — same-host loads are safe and tested.
+_cache_dir = os.environ.get(
+    "GPDT_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..",
+                                   ".cache", "jax_xla_cache"))
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
